@@ -1,0 +1,72 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+The CI/test environment may register an experimental TPU plugin (with remote
+compilation) as the default JAX platform; tests must run locally and
+deterministically, so we pin the platform to CPU and expose 8 virtual devices
+for the sharding tests (SURVEY §4: the fake-backend trick).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def generate_ctc_loss_inputs(
+    batch_size: int,
+    max_logit_length: int,
+    random_seed,
+    num_tokens: int,
+    blank_index: int,
+):
+    """Random CTC inputs mirroring the reference generator
+    (/root/reference/tests/common.py:53-104): N(0,1) logits,
+    ``logit_length in [T/2, T)``, ``label_length in [T/4, T/2)``,
+    labels in ``[1, V)`` (blank = 0 assumed)."""
+    assert blank_index == 0
+    rand = np.random.RandomState(random_seed)
+    import jax.numpy as jnp
+
+    from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
+
+    logits = jnp.asarray(
+        rand.normal(size=(batch_size, max_logit_length, num_tokens)).astype(
+            np.float32
+        )
+    )
+    logit_length = jnp.asarray(
+        rand.randint(
+            max_logit_length // 2, max(max_logit_length, 1), size=batch_size
+        ).astype(np.int32)
+    )
+    label_length = jnp.asarray(
+        rand.randint(
+            max(max_logit_length // 4, 1),
+            max(max_logit_length // 2, 2),
+            size=batch_size,
+        ).astype(np.int32)
+    )
+    labels = jnp.asarray(
+        rand.randint(1, num_tokens, size=(batch_size, max_logit_length)).astype(
+            np.int32
+        )
+    )
+    return {
+        "labels": labels,
+        "logits": logits,
+        "logprobas": logit_to_logproba(logits, axis=2),
+        "label_length": label_length,
+        "logit_length": logit_length,
+        "blank_index": blank_index,
+    }

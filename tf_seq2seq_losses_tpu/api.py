@@ -1,0 +1,218 @@
+"""Public API: drop-in equivalents of the reference's loss functions.
+
+Signatures follow the reference exactly
+(/root/reference/tf_seq2seq_losses/classic_ctc_loss.py:33-70,
+simplified_ctc_loss.py:32-67): same argument names and order as
+``tf.nn.ctc_loss`` with ``logits_time_major=False``, batch-major tensors.
+
+Beyond the reference surface this module adds direct analytic accessors
+(:func:`ctc_loss_gradient`, :func:`ctc_loss_hessian`) and the ``*LossData``
+classes — eager, cached views over the functional core mirroring the
+reference's data objects so that migrating test-suites keep working.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from tf_seq2seq_losses_tpu.ops import classic as _classic
+from tf_seq2seq_losses_tpu.ops import core as _core
+from tf_seq2seq_losses_tpu.ops import simplified as _simplified
+from tf_seq2seq_losses_tpu.ops.autodiff import build_chain
+from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
+
+Array = jax.Array
+IntLike = Union[int, Array]
+
+_CHAINS = {
+    "classic": build_chain(_classic),
+    "simplified": build_chain(_simplified),
+}
+_TOPOLOGIES = {"classic": _classic, "simplified": _simplified}
+
+
+def _canonical(topology: str):
+    if topology not in _TOPOLOGIES:
+        raise ValueError(
+            f"unknown topology {topology!r}; expected one of {sorted(_TOPOLOGIES)}"
+        )
+    return _TOPOLOGIES[topology], _CHAINS[topology]
+
+
+def ctc_loss_from_logproba(
+    labels: Array,
+    logprobas: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    topology: str = "classic",
+) -> Array:
+    """CTC loss treating log-probabilities as free parameters.
+
+    Reference: ``ctc_loss_from_logproba`` (base_loss.py:71-99).  Differentiable
+    through the custom-VJP chain: first derivative is the analytic gradient,
+    second (via ``jax.jacrev`` twice) the analytic Hessian, third raises.
+    """
+    _, chain = _canonical(topology)
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+    return chain.loss_fn(logprobas, labels, label_length, logit_length, blank)
+
+
+def ctc_loss(
+    labels: Array,
+    logits: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    topology: str = "classic",
+) -> Array:
+    """CTC loss from logits (log-softmax applied outside the custom VJP).
+
+    Reference: ``ctc_loss`` (base_loss.py:38-68).  The log-softmax VJP is left
+    to JAX autodiff, exactly as the reference leaves it to TF.
+    """
+    logprobas = logit_to_logproba(logits, axis=2)
+    return ctc_loss_from_logproba(
+        labels, logprobas, label_length, logit_length, blank_index, topology
+    )
+
+
+def classic_ctc_loss(
+    labels: Array,
+    logits: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike = 0,
+) -> Array:
+    """Classic (Graves) CTC loss: repeated non-blank labels merge on decode.
+
+    ``a_bb_ccc_c -> abcc``.  Infeasible samples (label needs more logits than
+    available, counting the blanks forced between repeats) get ``+inf`` loss
+    and zero gradient.  Reference: classic_ctc_loss.py:33-70.
+    """
+    return ctc_loss(
+        labels, logits, label_length, logit_length, blank_index, "classic"
+    )
+
+
+def simplified_ctc_loss(
+    labels: Array,
+    logits: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike = 0,
+) -> Array:
+    """Simplified CTC loss: blanks removed, no repeated-token merge.
+
+    ``a_bb_ccc_c -> abbccccc``.  Reference: simplified_ctc_loss.py:32-67.
+    """
+    return ctc_loss(
+        labels, logits, label_length, logit_length, blank_index, "simplified"
+    )
+
+
+def ctc_loss_gradient(
+    labels: Array,
+    logprobas: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    topology: str = "classic",
+) -> Array:
+    """Analytic loss gradient w.r.t. ``logprobas`` without autodiff plumbing."""
+    _, chain = _canonical(topology)
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+    return chain.grad_fn(logprobas, labels, label_length, logit_length, blank)
+
+
+def ctc_loss_hessian(
+    labels: Array,
+    logprobas: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    topology: str = "classic",
+) -> Array:
+    """Analytic Hessian [B, T, V, T, V] w.r.t. ``logprobas``.
+
+    O(T^2 L^2) memory — use at small shapes only, exactly like the reference
+    (SURVEY §5; reference tests keep T <= 4)."""
+    _, chain = _canonical(topology)
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+    return chain.hessian_fn(logprobas, labels, label_length, logit_length, blank)
+
+
+class BaseCtcLossData:
+    """Eager, cached view over the functional core for one input batch.
+
+    Mirrors the reference's data objects
+    (base_loss.py:102-543) so reference-style tests and notebooks port
+    directly: ``.alpha``, ``.beta``, ``.gamma``, ``.loss``, ``.gradient``,
+    ``.hessian`` and ``.logarithmic_logproba_gradient`` are all lazy cached
+    properties.  The lattice width is the *static* ``labels.shape[1] + 1``
+    rather than the reference's dynamic ``max(label_length) + 1``; trailing
+    positions are exactly ``-inf`` and never affect results.
+    """
+
+    _topology_name = "classic"
+
+    def __init__(
+        self,
+        labels: Array,
+        logprobas: Array,
+        label_length: Array,
+        logit_length: Array,
+        blank_index: IntLike = 0,
+    ):
+        self._topology, self._chain = _canonical(self._topology_name)
+        self._ctx = _core.make_context(
+            jnp.asarray(labels),
+            jnp.asarray(logprobas),
+            jnp.asarray(label_length),
+            jnp.asarray(logit_length),
+            blank_index,
+        )
+
+    @cached_property
+    def alpha(self) -> Array:
+        return self._topology.alpha(self._ctx)
+
+    @cached_property
+    def beta(self) -> Array:
+        return self._topology.beta(self._ctx)
+
+    @cached_property
+    def gamma(self) -> Array:
+        return self._topology.gamma(self._ctx)
+
+    @cached_property
+    def loss(self) -> Array:
+        return self._topology.loss(self._ctx, self.alpha)
+
+    @cached_property
+    def logarithmic_logproba_gradient(self) -> Array:
+        return _core.gradient_log(self._topology, self._ctx, self.loss)
+
+    @cached_property
+    def gradient(self) -> Array:
+        return -jnp.exp(self.logarithmic_logproba_gradient)
+
+    @cached_property
+    def hessian(self) -> Array:
+        return _core.hessian(self._topology, self._ctx, self.loss)
+
+
+class ClassicCtcLossData(BaseCtcLossData):
+    """Classic topology data object (reference: classic_ctc_loss.py:73-115)."""
+
+    _topology_name = "classic"
+
+
+class SimplifiedCtcLossData(BaseCtcLossData):
+    """Simplified topology data object (reference: simplified_ctc_loss.py:70)."""
+
+    _topology_name = "simplified"

@@ -1,0 +1,126 @@
+"""The nested custom-VJP chain: loss -> analytic grad -> analytic Hessian -> error.
+
+This mirrors the reference's three-level ``tf.custom_gradient`` contract
+(/root/reference/tf_seq2seq_losses/base_loss.py:140-184):
+
+* differentiating the loss once yields the *analytic* gradient (O(l^2)), not
+  autodiff through the recursions;
+* differentiating the gradient (``jax.jacrev`` of ``jax.grad``) contracts the
+  incoming cotangent with the *analytic* Hessian (O(l^4));
+* a third derivative raises ``NotImplementedError`` loudly.
+
+``jax.custom_vjp`` functions are not forward-mode differentiable, so second
+derivatives must be taken reverse-over-reverse (``jax.jacrev`` twice) — the
+JAX analogue of the reference's ``tape.batch_jacobian(tape.gradient(...))``
+requirement (README.md:121-126).
+
+Integer inputs (labels, lengths, blank index) receive ``float0`` cotangents as
+required by the custom_vjp calling convention.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_seq2seq_losses_tpu.ops import core
+
+Array = jax.Array
+
+
+def _float0(x):
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
+class CtcVjpChain(NamedTuple):
+    """The three chained functions for one topology.
+
+    Each takes ``(logprobas, labels, label_length, logit_length, blank)`` and
+    treats ``logprobas`` as the only differentiable argument.
+    """
+
+    loss_fn: Callable
+    grad_fn: Callable
+    hessian_fn: Callable
+
+
+def build_chain(topology) -> CtcVjpChain:
+    """Construct the loss/grad/Hessian custom-VJP chain for a topology module.
+
+    ``topology`` is one of :mod:`tf_seq2seq_losses_tpu.ops.classic` /
+    :mod:`tf_seq2seq_losses_tpu.ops.simplified` — any namespace providing
+    ``alpha``, ``beta``, ``gamma``, ``loss`` and ``combine``.
+    """
+
+    def _ctx_loss(logprobas, labels, label_length, logit_length, blank):
+        ctx = core.make_context(labels, logprobas, label_length, logit_length, blank)
+        return ctx, topology.loss(ctx, topology.alpha(ctx))
+
+    # ---- level 3: Hessian (bwd raises; base_loss.py:177-184) ----------------
+    @jax.custom_vjp
+    def hessian_fn(logprobas, labels, label_length, logit_length, blank):
+        ctx, loss = _ctx_loss(logprobas, labels, label_length, logit_length, blank)
+        return core.hessian(topology, ctx, loss)
+
+    def hessian_fwd(logprobas, labels, label_length, logit_length, blank):
+        out = hessian_fn(logprobas, labels, label_length, logit_length, blank)
+        return out, None
+
+    def hessian_bwd(_res, _d_hessian):
+        raise NotImplementedError(
+            "Third order derivative over the ctc loss function is not implemented."
+        )
+
+    hessian_fn.defvjp(hessian_fwd, hessian_bwd)
+
+    # ---- level 2: gradient (bwd contracts with Hessian; base_loss.py:157-175)
+    @jax.custom_vjp
+    def grad_fn(logprobas, labels, label_length, logit_length, blank):
+        ctx, loss = _ctx_loss(logprobas, labels, label_length, logit_length, blank)
+        return core.gradient(topology, ctx, loss)
+
+    def grad_fwd(logprobas, labels, label_length, logit_length, blank):
+        out = grad_fn(logprobas, labels, label_length, logit_length, blank)
+        return out, (logprobas, labels, label_length, logit_length, blank)
+
+    def grad_bwd(res, d_gradient):
+        logprobas, labels, label_length, logit_length, blank = res
+        hess = hessian_fn(logprobas, labels, label_length, logit_length, blank)
+        cotangent = jnp.einsum("bxy,btvxy->btv", d_gradient, hess)
+        return (
+            cotangent,
+            _float0(labels),
+            _float0(label_length),
+            _float0(logit_length),
+            _float0(blank),
+        )
+
+    grad_fn.defvjp(grad_fwd, grad_bwd)
+
+    # ---- level 1: loss (bwd scales the analytic grad; base_loss.py:140-155) -
+    @jax.custom_vjp
+    def loss_fn(logprobas, labels, label_length, logit_length, blank):
+        _, loss = _ctx_loss(logprobas, labels, label_length, logit_length, blank)
+        return loss
+
+    def loss_fwd(logprobas, labels, label_length, logit_length, blank):
+        out = loss_fn(logprobas, labels, label_length, logit_length, blank)
+        return out, (logprobas, labels, label_length, logit_length, blank)
+
+    def loss_bwd(res, d_loss):
+        logprobas, labels, label_length, logit_length, blank = res
+        grad = grad_fn(logprobas, labels, label_length, logit_length, blank)
+        return (
+            d_loss[:, None, None] * grad,
+            _float0(labels),
+            _float0(label_length),
+            _float0(logit_length),
+            _float0(blank),
+        )
+
+    loss_fn.defvjp(loss_fwd, loss_bwd)
+
+    return CtcVjpChain(loss_fn=loss_fn, grad_fn=grad_fn, hessian_fn=hessian_fn)

@@ -1,0 +1,225 @@
+"""Numerically-stable log-space primitives for the TPU-native CTC loss framework.
+
+This is the TPU/JAX analogue of the reference toolkit
+(`/root/reference/tf_seq2seq_losses/tools.py`): every public helper there has a
+counterpart here with identical semantics (see per-function docstrings for the
+`file:line` citation), but the implementations are designed for XLA:
+
+* static shapes everywhere (no dynamic `tf.shape` plumbing),
+* `lax.scan` instead of `tf.while_loop` + `tf.TensorArray` (see `unfold`),
+* the log-space segment reduction (`unsorted_segment_logsumexp`) additionally has
+  a batched one-hot-matmul formulation (`batched_token_logsumexp` in
+  `ops/core.py`) that runs on the MXU instead of scatter hardware.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# +inf sentinel used for infeasible-sample losses
+# (reference: tools.py:24 `inf = tf.constant(np.inf)`).
+inf = np.float32(np.inf)
+
+Array = jax.Array
+
+
+def logit_to_logproba(logit: Array, axis: int) -> Array:
+    """Stable log-softmax: ``x - logsumexp(x, axis)``.
+
+    Reference semantics: tools.py:27-40. For saturated logits (e.g. 1e10) the
+    result stays finite on the argmax coordinate, matching the reference's
+    stability guarantee.
+    """
+    return logit - jax.scipy.special.logsumexp(logit, axis=axis, keepdims=True)
+
+
+def apply_logarithmic_mask(tensor: Array, mask: Array) -> Array:
+    """Keep entries where ``mask`` is True, force ``-inf`` where it is False.
+
+    Reference semantics: tools.py:43-54 (``t + log(cast(mask))``). Implemented
+    with `jnp.where` rather than `+ log(mask)` so that masked positions are
+    exactly ``-inf`` even when ``tensor`` holds ``+inf``/``nan`` there.
+    """
+    neg_inf = jnp.asarray(-np.inf, dtype=tensor.dtype)
+    return jnp.where(mask, tensor, neg_inf)
+
+
+def logsumexp(x: Array, y: Array) -> Array:
+    """Pairwise numerically stable ``log(exp(x) + exp(y))``.
+
+    Reference semantics: tools.py:57-71, including the tie branch
+    ``x + log(2)`` which keeps the ``x == y == -inf`` case NaN-free.
+    `jnp.logaddexp` implements exactly this contract (max + log1p(exp(-|d|))
+    with an equal-operands guard), so we delegate to it: it lowers to a fused
+    VPU sequence on TPU.
+    """
+    return jnp.logaddexp(x, y)
+
+
+def subexp(x: Array, y: Array) -> Array:
+    """Numerically stable ``exp(x) - exp(y)``.
+
+    Reference semantics: tools.py:74-92 (three-branch `expm1` form; defined
+    but unused by the reference library — ported for API parity).
+    """
+    return jnp.where(
+        x > y,
+        -jnp.exp(x) * jnp.expm1(y - x),
+        jnp.where(x < y, jnp.exp(y) * jnp.expm1(x - y), jnp.zeros_like(x)),
+    )
+
+
+def unsorted_segment_logsumexp(
+    data: Array, segment_ids: Array, num_segments: int
+) -> Array:
+    """Segment-wise logsumexp over the leading axis of ``data``.
+
+    Reference semantics: tools.py:95-119 (segment-max normalisation, then
+    segment-sum of exponentials). Segments with no members return ``-inf``.
+
+    ``num_segments`` must be static under `jit`. This scatter-based form is the
+    general-purpose fallback; the CTC hot path uses the MXU matmul formulation
+    in `ops/core.py` instead.
+    """
+    data_max = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    # Empty segments produce -inf maxima; keep arithmetic NaN-free below.
+    data_max_safe = jnp.where(jnp.isfinite(data_max), data_max, 0.0)
+    data_normed = data - jnp.take(data_max_safe, segment_ids, axis=0)
+    sums = jax.ops.segment_sum(
+        jnp.exp(data_normed), segment_ids, num_segments=num_segments
+    )
+    return data_max_safe + jnp.log(sums)
+
+
+def pad_until(
+    tensor: Array,
+    desired_size: int,
+    axis: int,
+    pad_value: Union[int, float, bool] = 0,
+) -> Array:
+    """Right-pad ``axis`` to ``desired_size`` (static under JAX).
+
+    Reference semantics: tools.py:122-148.
+    """
+    rank = tensor.ndim
+    if axis >= rank:
+        raise ValueError(f"axis {axis} out of range for rank {rank}")
+    current = tensor.shape[axis]
+    if desired_size < current:
+        raise ValueError(
+            f"desired_size {desired_size} smaller than current {current}"
+        )
+    paddings = [(0, 0)] * axis + [(0, desired_size - current)] + [(0, 0)] * (
+        rank - axis - 1
+    )
+    return jnp.pad(tensor, paddings, constant_values=pad_value)
+
+
+def insert_zeros(tensor: Array, mask: Array) -> Array:
+    """Insert a zero before each masked element of each row.
+
+    Reference semantics: tools.py:151-188 (scatter by cumsum-shifted indices).
+    Under JAX the output width must be static, so it is
+    ``length + max_num_insertions`` with ``max_num_insertions`` taken over the
+    *static* worst case only when `jit`-traced; call un-jitted for the
+    reference's dynamic-width behaviour.
+    """
+    batch_size, length = tensor.shape
+    delta = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    max_num_insertions = int(jnp.max(delta[:, -1])) if batch_size else 0
+    cols = jnp.arange(length)[None, :] + delta
+    rows = jnp.broadcast_to(jnp.arange(batch_size)[:, None], (batch_size, length))
+    out = jnp.zeros((batch_size, length + max_num_insertions), dtype=tensor.dtype)
+    return out.at[rows, cols].set(tensor)
+
+
+def unfold(
+    init_tensor: Array,
+    iterfunc: Callable[[Array, Array], Array],
+    num_iters: int,
+    d_i: int,
+    name: str = "unfold",
+) -> Array:
+    """Iterate ``iterfunc`` and stack all ``num_iters + 1`` slices.
+
+    Reference semantics: tools.py:191-277 (the `tf.while_loop` +
+    `tf.TensorArray` engine). Rebuilt on `jax.lax.scan`, which XLA compiles to
+    a single fused on-device loop — no per-step host dispatch and no
+    TensorArray traffic.
+
+    For ``d_i == +1`` the output is ``[init, f(init,0), f(f(init,0),1), ...]``
+    along a new leading axis; for ``d_i == -1`` the iteration runs
+    ``i = num_iters-1 .. 0`` and the output is stored in reversed order so that
+    index ``i`` holds the value *after* consuming steps ``i..num_iters-1``,
+    exactly as the reference's backward unfold.
+    """
+    if d_i not in (-1, 1):
+        raise ValueError("d_i must be +1 or -1")
+
+    forward = d_i == 1
+
+    def body(carry, i):
+        new = iterfunc(carry, i)
+        return new, new
+
+    indices = jnp.arange(num_iters)
+    if not forward:
+        indices = indices[::-1]
+    with jax.named_scope(name):
+        _, stacked = jax.lax.scan(body, init_tensor, indices)
+        if forward:
+            return jnp.concatenate([init_tensor[None], stacked], axis=0)
+        # stacked[k] is the value after consuming step indices[k] = n-1-k.
+        return jnp.concatenate([stacked[::-1], init_tensor[None]], axis=0)
+
+
+def reduce_max_with_default(input_tensor: Array, default) -> Array:
+    """``max`` over all elements with a default for empty input.
+
+    Reference semantics: tools.py:280-291. Shapes are static in JAX, so the
+    emptiness check is resolved at trace time.
+    """
+    if input_tensor.size == 0:
+        return jnp.asarray(default, dtype=input_tensor.dtype)
+    return jnp.max(input_tensor)
+
+
+def expand_many_dims(x: Array, axes: List[int]) -> Array:
+    """Insert several singleton dimensions, in order.
+
+    Reference semantics: tools.py:294-312.
+    """
+    for axis in axes:
+        x = jnp.expand_dims(x, axis)
+    return x
+
+
+def smart_transpose(a: Array, perm: List[int]) -> Array:
+    """`transpose` accepting a partial permutation (trailing axes unchanged).
+
+    Reference semantics: tools.py:315-336.
+    """
+    if len(perm) > a.ndim:
+        raise ValueError(f"Tensor of rank {a.ndim} cannot be transposed by {perm}")
+    full = list(perm) + list(range(len(perm), a.ndim))
+    return jnp.transpose(a, full)
+
+
+def smart_reshape(tensor: Array, shape: List[Optional[int]]) -> Array:
+    """`reshape` with a partial spec; `None` keeps that dimension.
+
+    Reference semantics: tools.py:339-379. Rank is preserved.
+    """
+    if len(shape) > tensor.ndim:
+        raise ValueError(
+            f"Tensor of rank {tensor.ndim} cannot be reshaped to {shape}"
+        )
+    spec = list(shape) + [None] * (tensor.ndim - len(shape))
+    new_shape = [
+        tensor.shape[i] if dim is None else dim for i, dim in enumerate(spec)
+    ]
+    return jnp.reshape(tensor, new_shape)
