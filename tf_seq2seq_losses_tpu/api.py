@@ -19,20 +19,19 @@ from typing import Union
 import jax
 import jax.numpy as jnp
 
-from tf_seq2seq_losses_tpu.ops import classic as _classic
 from tf_seq2seq_losses_tpu.ops import core as _core
-from tf_seq2seq_losses_tpu.ops import simplified as _simplified
 from tf_seq2seq_losses_tpu.ops.autodiff import build_chain
+from tf_seq2seq_losses_tpu.ops.topology import CLASSIC, SIMPLIFIED
 from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
 
 Array = jax.Array
 IntLike = Union[int, Array]
 
 _CHAINS = {
-    "classic": build_chain(_classic),
-    "simplified": build_chain(_simplified),
+    "classic": build_chain(CLASSIC),
+    "simplified": build_chain(SIMPLIFIED),
 }
-_TOPOLOGIES = {"classic": _classic, "simplified": _simplified}
+_TOPOLOGIES = {"classic": CLASSIC, "simplified": SIMPLIFIED}
 
 
 def _canonical(topology: str):

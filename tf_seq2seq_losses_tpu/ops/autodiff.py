@@ -57,6 +57,8 @@ def build_chain(topology) -> CtcVjpChain:
 
     def _ctx_loss(logprobas, labels, label_length, logit_length, blank):
         ctx = core.make_context(labels, logprobas, label_length, logit_length, blank)
+        if hasattr(topology, "loss_fast"):
+            return ctx, topology.loss_fast(ctx)
         return ctx, topology.loss(ctx, topology.alpha(ctx))
 
     # ---- level 3: Hessian (bwd raises; base_loss.py:177-184) ----------------

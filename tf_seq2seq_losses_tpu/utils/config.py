@@ -1,0 +1,66 @@
+"""Kernel tuning configuration (the reference's only config surface is its
+five function arguments — SURVEY §5 config row; this adds the TPU kernel knobs
+with env-var overrides for benchmarks)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from contextlib import contextmanager
+from typing import Optional
+
+import jax
+
+
+@dataclasses.dataclass
+class KernelConfig:
+    """Tuning knobs for the Pallas lattice kernels.
+
+    ``use_pallas``: None = auto (Pallas on TPU, pure-XLA elsewhere);
+    True/False force.  ``interpret``: run kernels in interpreter mode (CPU
+    debugging/CI).  ``block_batch`` / ``block_time``: kernel tile sizes.
+    """
+
+    use_pallas: Optional[bool] = None
+    interpret: bool = False
+    block_batch: int = 8
+    block_time: int = 128
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        try:
+            return jax.default_backend() in ("tpu",) or self.interpret
+        except RuntimeError:
+            return False
+
+
+def _env_default() -> KernelConfig:
+    cfg = KernelConfig()
+    flag = os.environ.get("CTC_TPU_USE_PALLAS")
+    if flag is not None:
+        cfg.use_pallas = flag not in ("0", "false", "False")
+    if os.environ.get("CTC_TPU_PALLAS_INTERPRET") in ("1", "true", "True"):
+        cfg.interpret = True
+    cfg.block_batch = int(os.environ.get("CTC_TPU_BLOCK_BATCH", cfg.block_batch))
+    cfg.block_time = int(os.environ.get("CTC_TPU_BLOCK_TIME", cfg.block_time))
+    return cfg
+
+
+_CONFIG = _env_default()
+
+
+def get_config() -> KernelConfig:
+    return _CONFIG
+
+
+@contextmanager
+def config_override(**kwargs):
+    """Temporarily override kernel config fields (tests/benchmarks)."""
+    global _CONFIG
+    old = _CONFIG
+    _CONFIG = dataclasses.replace(old, **kwargs)
+    try:
+        yield _CONFIG
+    finally:
+        _CONFIG = old
