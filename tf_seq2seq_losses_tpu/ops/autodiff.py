@@ -91,7 +91,12 @@ def build_chain(topology) -> CtcVjpChain:
     def grad_bwd(res, d_gradient):
         logprobas, labels, label_length, logit_length, blank = res
         hess = hessian_fn(logprobas, labels, label_length, logit_length, blank)
-        cotangent = jnp.einsum("bxy,btvxy->btv", d_gradient, hess)
+        cotangent = jnp.einsum(
+            "bxy,btvxy->btv",
+            d_gradient,
+            hess,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return (
             cotangent,
             _float0(labels),

@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tf_seq2seq_losses_tpu.ops.core import CtcContext, select_from_act
+from tf_seq2seq_losses_tpu.ops.core import (
+    CtcContext,
+    select_from_act,
+    take_token_logprobas,
+)
 from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
 
 Array = jax.Array
@@ -47,12 +51,9 @@ def terms(ctx: CtcContext) -> ClassicTerms:
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
 
-    # Token preceding each label position (classic_ctc_loss.py:546-558).
-    prev_tok_plain = jnp.take_along_axis(
-        ctx.logproba,
-        jnp.broadcast_to(ctx.preceded_label[:, None, :], (batch, num_t, lp1)),
-        axis=2,
-    )
+    # Token preceding each label position (classic_ctc_loss.py:546-558),
+    # gathered as a one-hot MXU contraction (see core.take_token_logprobas).
+    prev_tok_plain = take_token_logprobas(ctx.logproba, ctx.onehot_preceded)
     # Same gather but with the blank column forced to -inf
     # (classic_ctc_loss.py:528-543): a "repeat the previous token" horizontal
     # step must not fire when the preceding position is the blank pad.

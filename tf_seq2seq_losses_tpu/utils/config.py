@@ -23,8 +23,8 @@ class KernelConfig:
 
     use_pallas: Optional[bool] = None
     interpret: bool = False
-    block_batch: int = 8
-    block_time: int = 128
+    block_batch: int = 64
+    block_time: int = 16
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
