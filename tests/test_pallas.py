@@ -4,6 +4,9 @@ On CPU the kernels run through the Pallas interpreter
 (``CTC_TPU_PALLAS_INTERPRET``-equivalent config); on TPU the same tests
 compile to Mosaic.  The pure ``lax.scan`` implementations are the oracle
 (themselves pinned by the reference tests).
+
+The kernels compute in rescaled probability space; parity tolerances are a
+few float32 ulps looser than exact-log-space comparisons would be.
 """
 
 import jax
@@ -16,6 +19,7 @@ from tf_seq2seq_losses_tpu.ops import classic as classic_mod
 from tf_seq2seq_losses_tpu.ops import core as core_mod
 from tf_seq2seq_losses_tpu.ops import pallas_lattice as pk
 from tf_seq2seq_losses_tpu.ops import simplified as simplified_mod
+from tf_seq2seq_losses_tpu.ops.topology import CLASSIC, SIMPLIFIED
 from tf_seq2seq_losses_tpu.utils.config import config_override
 
 
@@ -42,57 +46,47 @@ def interpret_mode():
         yield
 
 
-def test_classic_alpha_matches_pure():
+def test_classic_loss_fast_matches_pure():
     ctx = _ctx()
+    fast = pk.classic_loss_fast(ctx)
+    ref = classic_mod.loss(ctx, classic_mod.alpha(ctx))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_simplified_loss_fast_matches_pure():
+    ctx = _ctx(batch=3, max_t=10, seed=1)
+    fast = pk.simplified_loss_fast(ctx)
+    ref = simplified_mod.loss(ctx, simplified_mod.alpha(ctx))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_classic_fused_gradient_log_matches_pure():
+    ctx = _ctx(batch=3, max_t=9, vocab=5, seed=1)
+    loss = classic_mod.loss(ctx, classic_mod.alpha(ctx))
+    ref = core_mod.gradient_log(CLASSIC, ctx, loss)
+    fused, fused_loss = pk.classic_gradient_log_with_loss(ctx, None)
+    np.testing.assert_allclose(np.asarray(fused_loss), np.asarray(loss), atol=1e-5)
+    # compare in gradient space: -inf log entries are 0 gradients
     np.testing.assert_allclose(
-        np.asarray(pk.classic_alpha(ctx)),
-        np.asarray(classic_mod.alpha(ctx)),
-        atol=1e-5,
+        -np.exp(np.asarray(fused)), -np.exp(np.asarray(ref)), atol=1e-5
     )
 
 
-def test_classic_alpha_final_matches_loss():
-    ctx = _ctx(batch=3, max_t=7)
-    final = pk.classic_alpha_final(ctx)
-    # forced-blank padding merges states but preserves logsumexp over states
-    loss_fast = classic_mod.loss(ctx, final[:, None])
-    loss_ref = classic_mod.loss(ctx, classic_mod.alpha(ctx))
+def test_simplified_fused_gradient_log_matches_pure():
+    ctx = _ctx(batch=3, max_t=10, vocab=5, seed=2)
+    loss = simplified_mod.loss(ctx, simplified_mod.alpha(ctx))
+    ref = core_mod.gradient_log(SIMPLIFIED, ctx, loss)
+    fused, fused_loss = pk.simplified_gradient_log_with_loss(ctx, None)
+    np.testing.assert_allclose(np.asarray(fused_loss), np.asarray(loss), atol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(loss_fast), np.asarray(loss_ref), atol=1e-5
-    )
-
-
-def test_classic_beta_matches_pure():
-    ctx = _ctx(batch=2, max_t=11)
-    np.testing.assert_allclose(
-        np.asarray(pk.classic_beta(ctx)),
-        np.asarray(classic_mod.beta(ctx)),
-        atol=1e-5,
-    )
-
-
-def test_simplified_alpha_beta_match_pure():
-    ctx = _ctx(batch=3, max_t=10)
-    np.testing.assert_allclose(
-        np.asarray(pk.simplified_alpha(ctx)),
-        np.asarray(simplified_mod.alpha(ctx)),
-        atol=1e-5,
-    )
-    np.testing.assert_allclose(
-        np.asarray(pk.simplified_beta(ctx)),
-        np.asarray(simplified_mod.beta(ctx)),
-        atol=1e-5,
-    )
-    final = pk.simplified_alpha_final(ctx)
-    np.testing.assert_allclose(
-        np.asarray(final),
-        np.asarray(simplified_mod.alpha(ctx))[:, -1],
-        atol=1e-5,
+        -np.exp(np.asarray(fused)), -np.exp(np.asarray(ref)), atol=1e-5
     )
 
 
 def test_infeasible_and_saturated_through_kernels():
-    # +inf loss and saturated logits survive the kernel path
+    # +inf loss and saturated logits survive the kernel path: the saturated
+    # case exercises the runtime fallback guard (probability space flushes
+    # exp(-1e10) to zero; the guard reroutes to the exact log-space path).
     from tf_seq2seq_losses_tpu import classic_ctc_loss
 
     labels = jnp.asarray([[1, 1]], jnp.int32)
@@ -113,6 +107,28 @@ def test_infeasible_and_saturated_through_kernels():
     assert float(loss[0]) == 1e10
 
 
+def test_saturated_gradient_through_guard():
+    # Wrong certain prediction: loss = 200, gradient -1 one-hot at the label
+    # token (reference: test_classic_ctc_loss.py:285-307).  In probability
+    # space exp(-200) underflows; the guard must reroute to the pure path.
+    from tf_seq2seq_losses_tpu import classic_ctc_loss
+
+    logit = 100.0
+    labels = jnp.asarray([[1]], jnp.int32)
+    logits = jnp.asarray([[[logit, -logit, -logit]]], jnp.float32)
+
+    def loss_fn(x):
+        return jnp.sum(
+            classic_ctc_loss(labels, x, jnp.asarray([1]), jnp.asarray([1]), 0)
+        )
+
+    loss, grad = jax.value_and_grad(loss_fn)(logits)
+    assert abs(float(loss) - 2 * logit) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(grad)[0, 0], np.array([1.0, -1.0, 0.0]), atol=1e-4
+    )
+
+
 def test_full_chain_grad_through_kernels():
     from tf_seq2seq_losses_tpu import classic_ctc_loss
 
@@ -131,3 +147,29 @@ def test_full_chain_grad_through_kernels():
     with config_override(use_pallas=False):
         g_pure = jax.grad(loss_sum)(inputs["logits"])
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_pure), atol=1e-5)
+
+
+def test_guard_fallback_under_jit():
+    # The lax.cond guard must be jittable with both branches live.
+    from tf_seq2seq_losses_tpu import simplified_ctc_loss
+
+    inputs = generate_ctc_loss_inputs(
+        batch_size=2, max_logit_length=7, random_seed=5, num_tokens=4, blank_index=0
+    )
+
+    @jax.jit
+    def f(x):
+        return simplified_ctc_loss(
+            inputs["labels"], x, inputs["label_length"], inputs["logit_length"], 0
+        )
+
+    fast = f(inputs["logits"])
+    with config_override(use_pallas=False):
+        ref = simplified_ctc_loss(
+            inputs["labels"],
+            inputs["logits"],
+            inputs["label_length"],
+            inputs["logit_length"],
+            0,
+        )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)

@@ -81,8 +81,10 @@ def build_chain(topology) -> CtcVjpChain:
     # ---- level 2: gradient (bwd contracts with Hessian; base_loss.py:157-175)
     @jax.custom_vjp
     def grad_fn(logprobas, labels, label_length, logit_length, blank):
-        ctx, loss = _ctx_loss(logprobas, labels, label_length, logit_length, blank)
-        return core.gradient(topology, ctx, loss)
+        # loss=None: the fused backward kernel recovers the loss from beta[0]
+        # (alpha/beta invariant at t=0), avoiding a redundant forward scan.
+        ctx = core.make_context(labels, logprobas, label_length, logit_length, blank)
+        return core.gradient(topology, ctx, None)
 
     def grad_fwd(logprobas, labels, label_length, logit_length, blank):
         out = grad_fn(logprobas, labels, label_length, logit_length, blank)

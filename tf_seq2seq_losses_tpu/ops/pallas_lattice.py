@@ -1,33 +1,58 @@
-"""Pallas TPU kernels for the CTC lattice scans.
+"""Pallas TPU kernels for the CTC lattice scans — block-float probability space.
 
 The hot loop of the whole framework is the sequential time recursion with a
 small per-step lattice update (reference: the ``tf.while_loop`` inside
 ``unfold``, tools.py:191-277 — "the main computational bottleneck is the
-iteration over the logit length", README.md:105-110).  These kernels replace
-the XLA ``lax.scan`` lowering with a hand-scheduled loop:
+iteration over the logit length", README.md:105-110).
 
-* grid ``(batch_blocks, time_blocks)`` — batch blocks parallel across cores,
-  time blocks sequential ("arbitrary") with the lattice carry resident in a
-  VMEM scratch that persists across time blocks;
-* per-step transition tensors are streamed ``[block_B, block_T, Lpad]`` tiles
-  (Pallas double-buffers the HBM->VMEM pipeline automatically);
-* the label axis is lane-padded to a multiple of 128 with ``-inf`` so the
-  diagonal step is a single lane roll (``pltpu.roll``) — the wrap-around lane
-  is always ``-inf`` by construction, mirroring the pure-JAX masking argument
-  (ops/classic.py:_alpha_step);
-* the forward-only loss path uses a ``*_final`` kernel that never materialises
-  the ``[B, T, L]`` alpha tensor in HBM — the custom-VJP fwd needs only the
-  last slice.
+Measured on a v5e, a Pallas kernel at these shapes is HBM-bound: an empty
+scan over the transition tensors costs ~0.7 ms at B=256, T=500, L=256 and the
+full step math only ~0.2 ms more, while log-space ``logaddexp`` math costs
+~2.3 ms more (VPU transcendentals).  The design follows:
 
-Batch and time are padded to block multiples with forced-blank no-op steps
-(blank log-prob 0, all transition tensors ``-inf``), which provably leave the
-used outputs unchanged (same argument as the reference's forced-blank rows,
-base_loss.py:378-393).
+* **Probability space, block-float carries.**  The lattice carry is an f32
+  mantissa per lane plus a per-lane ``int32`` exponent (value = mantissa *
+  2^exp), renormalised every step by IEEE-754 exponent-field bit surgery —
+  exact, a handful of integer ops, zero transcendentals, and *unlimited*
+  dynamic range (a plain f32 carry flushes lattice states more than ~87 nats
+  below the row maximum, which at random initialisation hits ~10% of samples
+  at T=500).  Mass is only discarded when 2^-126 smaller than the dominant
+  mass arriving at the *same lattice point* — the same relative-error
+  contract as the pure path's max-normalised scatter (ops/core.py).
+* **Transitions are plain softmax probabilities** gathered from
+  ``exp(logproba)`` by one-hot MXU matmuls.  The one-hots are padded, so the
+  gathers emit kernel-ready padded tensors directly — no ``jnp.pad`` copies
+  of [B, T, L] tensors anywhere (measured at ~1.5 ms of pure copy traffic in
+  a naive pipeline).  Only 2 big transition tensors hit HBM (expected-token
+  and preceded-token probabilities); the repetition/blank masks are per-lane
+  vectors applied inside the kernel.
+* **Fused backward kernel**: beta is computed on the fly (never stored) and
+  the kernel emits normalised gradient acts ``p = act * 2^(g - E)`` with the
+  per-(b, t) normaliser ``E`` plus the blank column, plus beta[0] — from
+  which the loss is recovered for free (``loss = -log(alpha[0] . beta[0])``,
+  the invariant tested at test_classic_ctc_loss.py:146-167).  The token
+  scatter stays in XLA as a batched one-hot MXU matmul:
+  ``non_blank = E*ln2 + log(p_h @ onehot_preceded + p_d @ onehot_label)``.
+* A single f32 transition probability still flushes to 0 below ~1e-38; a
+  feasible sample whose loss depends on such a transition (logits saturated
+  beyond ~87 nats, e.g. the reference's 1e10 stability tests) comes out
+  ``+inf`` from the fast path and is rerouted by the runtime guard in
+  ops/topology.py to the exact log-space pure path.
+
+Batch and time are padded to block multiples with no-op steps (blank
+probability 1, all other transitions 0), which provably leave the used
+outputs unchanged (same argument as the reference's forced-blank rows,
+base_loss.py:378-393).  The label axis is lane-padded to a multiple of 128
+with zero probabilities so the diagonal step is a single lane roll
+(``pltpu.roll``); wrap-around lanes always carry probability 0 and their
+stale exponents are masked to -2^30 so they can never inflate a real lane's
+scale.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -42,389 +67,818 @@ from tf_seq2seq_losses_tpu.utils.config import get_config
 
 Array = jax.Array
 NEG_INF = np.float32(-np.inf)
+LN2 = np.float32(0.6931471805599453)
+_EBIG = np.int32(1 << 30)  # "minus infinity" for int exponents
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pad3(x: Array, b: int, t: int, l: int, value) -> Array:
-    return jnp.pad(
-        x,
-        ((0, b - x.shape[0]), (0, t - x.shape[1]), (0, l - x.shape[2])),
-        constant_values=value,
+def _fit_blocks(
+    lpad: int, num_big_buffers: int, num_t: int, batch: int
+) -> Tuple[int, int]:
+    """Pick (block_batch, block_time) whose VMEM working set fits the core.
+
+    Model: ``num_big_buffers * bb * bt * lpad * 4 bytes * 2 (double
+    buffering) * 2 (allocator slack)`` against a 12 MB budget (empirically
+    Mosaic's scoped-vmem allocation is ~2x the naive estimate).
+    """
+    cfg = get_config()
+    budget = int(os.environ.get("CTC_TPU_VMEM_BUDGET_MB", "12")) << 20
+    bb = min(cfg.block_batch, max(batch, 1))
+    bt = min(cfg.block_time, max(num_t, 1))
+    if bt < max(num_t, 1):
+        # Mosaic requires the sublane (time) block dim to be a multiple of 8
+        # unless it spans the whole axis.
+        bt = max(8, (bt // 8) * 8)
+
+    def est(bb_, bt_):
+        return num_big_buffers * bb_ * bt_ * lpad * 4 * 2 * 2
+
+    while est(bb, bt) > budget and bt > 8 and bt < max(num_t, 1):
+        bt = max(8, (bt // 2 // 8) * 8)
+    while est(bb, bt) > budget and bb > 8:
+        bb //= 2
+    return bb, bt
+
+
+# ---------------------------------------------------------------------------
+# block-float primitives (inside kernels)
+# ---------------------------------------------------------------------------
+
+
+def _expfield(x):
+    """IEEE-754 exponent field of f32 (int32, 0 for zeros/denormals)."""
+    return (jax.lax.bitcast_convert_type(x, jnp.int32) >> 23) & 0xFF
+
+
+def _pow2(k):
+    """2^k as f32 for int32 k in [-126, 127]; k <= -127 gives exactly 0."""
+    kc = jnp.clip(k, -126, 127)
+    f = jax.lax.bitcast_convert_type((kc + 127) << 23, jnp.float32)
+    return jnp.where(k <= -127, 0.0, f)
+
+
+def _pow2_nonpos(k):
+    """2^min(k, 0): scale-to-max factors; immune to +BIG garbage exponents."""
+    return _pow2(jnp.minimum(k, 0))
+
+
+def _renorm(values, e):
+    """Renormalise mantissas to ~[1, 2) by their elementwise max; returns
+    (scaled values, new exponent).  Zero lanes keep their exponent."""
+    m = values[0]
+    for v in values[1:]:
+        m = jnp.maximum(m, v)
+    ef = _expfield(m)
+    delta = jnp.where(ef == 0, 0, ef - 127)
+    s = _pow2(-delta)
+    return [v * s for v in values], e + delta
+
+
+def _iroll(x, shift):
+    """Lane roll for int32 (via f32 bitcast, bit pattern preserved)."""
+    f = jax.lax.bitcast_convert_type(x, jnp.float32)
+    f = pltpu.roll(f, shift=shift, axis=1)
+    return jax.lax.bitcast_convert_type(f, jnp.int32)
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+# ---------------------------------------------------------------------------
+# padded probability-space inputs (no [B, T, L] pad copies: the one-hots are
+# padded so the MXU gathers emit kernel-ready padded tensors directly)
+# ---------------------------------------------------------------------------
+
+
+def _padded_probs(ctx: CtcContext, bpad: int, tpad: int):
+    """exp(logproba) padded to [bpad, tpad, V] (zeros) + blank [bpad, tpad]
+    padded with 1 (the no-op step)."""
+    batch, num_t, _ = ctx.logproba.shape
+    probs = jnp.exp(ctx.logproba)
+    probs = jnp.pad(
+        probs, ((0, bpad - batch), (0, tpad - num_t), (0, 0)),
+        constant_values=0.0,
+    )
+    blank = jnp.pad(
+        jnp.exp(ctx.blank_lp),
+        ((0, bpad - batch), (0, tpad - num_t)),
+        constant_values=1.0,
+    )
+    return probs, blank[:, :, None]
+
+
+def _padded_onehot(label: Array, num_tokens: int, bpad: int, lpad: int):
+    """One-hot [bpad, lpad, V]; padded positions match no token."""
+    batch, lp1 = label.shape
+    lab = jnp.pad(
+        label, ((0, bpad - batch), (0, lpad - lp1)), constant_values=-1
+    )
+    return (lab[:, :, None] == jnp.arange(num_tokens)[None, None, :]).astype(
+        jnp.float32
     )
 
 
+def _pad_mask(mask: Array, bpad: int, lpad: int):
+    batch, lp1 = mask.shape
+    return jnp.pad(
+        mask.astype(jnp.float32),
+        ((0, bpad - batch), (0, lpad - lp1)),
+        constant_values=0.0,
+    )
+
+
+def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
+    """(blank, dc, pt, nb_mask, rep_mask, onehot_label_p, onehot_prec_p).
+
+    dc = expected-token probability (length-masked), pt = preceded-token
+    probability; the kernel derives ``pm = pt * nb_mask`` (repeat-horizontal,
+    blank excluded — classic_ctc_loss.py:528-543) and ``do = dc * rep_mask``
+    (repetition-masked diagonal — classic_ctc_loss.py:465-501) on the fly.
+    """
+    num_tokens = ctx.logproba.shape[2]
+    probs, blank = _padded_probs(ctx, bpad, tpad)
+    oh_label = _padded_onehot(ctx.label, num_tokens, bpad, lpad)
+    oh_prec = _padded_onehot(ctx.preceded_label, num_tokens, bpad, lpad)
+    # fold the label-length mask into the one-hot (zero rows)
+    oh_label_masked = oh_label * _pad_mask(ctx.label_length_mask, bpad, lpad)[
+        :, :, None
+    ]
+    dc = jnp.einsum(
+        "btv,blv->btl", probs, oh_label_masked,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pt = jnp.einsum(
+        "btv,blv->btl", probs, oh_prec,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    nb_mask = _pad_mask(
+        ctx.preceded_label != ctx.blank_index, bpad, lpad
+    )
+    rep_mask = _pad_mask(
+        ctx.label != jnp.roll(ctx.label, shift=1, axis=1), bpad, lpad
+    )
+    return blank, dc, pt, nb_mask, rep_mask, oh_label_masked, oh_prec
+
+
+def _simplified_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
+    """(blank, diag, onehot_label_p) for the single-state lattice."""
+    num_tokens = ctx.logproba.shape[2]
+    probs, blank = _padded_probs(ctx, bpad, tpad)
+    oh_label = _padded_onehot(ctx.label, num_tokens, bpad, lpad)
+    oh_label_masked = oh_label * _pad_mask(ctx.label_length_mask, bpad, lpad)[
+        :, :, None
+    ]
+    diag = jnp.einsum(
+        "btv,blv->btl", probs, oh_label_masked,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return blank, diag, oh_label_masked
+
+
 # ---------------------------------------------------------------------------
-# classic topology
+# classic topology kernels
 # ---------------------------------------------------------------------------
 
 
-def _classic_alpha_kernel(emit_all: bool, block_t: int):
-    """alpha kernel body; carry = (closed, open) [block_B, Lpad] in scratch."""
+def _classic_fwd_kernel(mode: str, block_t: int):
+    """Block-float alpha scan (classic_ctc_loss.py:379-451).
 
-    def kernel(blank_ref, pm_ref, dc_ref, do_ref, *rest):
-        if emit_all:
-            out0_ref, out1_ref, a0_s, a1_s = rest
+    Carry: mantissas (a0 closed, a1 open) [bb, Lpad] f32 + shared per-lane
+    exponent e [bb, Lpad] int32.  mode 'final' emits the last carry; mode
+    'pre' emits pre-step slices (the ``alpha[:, :-1]`` operand of the
+    gradient combine, base_loss.py:274).
+    """
+
+    def kernel(blank_ref, dc_ref, pt_ref, nb_ref, rep_ref, *rest):
+        if mode == "pre":
+            o0_ref, o1_ref, oe_ref, a0_s, a1_s, e_s = rest
         else:
-            fin0_ref, fin1_ref, a0_s, a1_s = rest
+            f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            lane = jax.lax.broadcasted_iota(jnp.int32, a0_s.shape, 1)
-            a0_s[:] = jnp.where(lane == 0, 0.0, NEG_INF)
-            a1_s[:] = jnp.full(a1_s.shape, NEG_INF, jnp.float32)
+            lane = _lane_iota(a0_s.shape)
+            a0_s[:] = jnp.where(lane == 0, 1.0, 0.0)
+            a1_s[:] = jnp.zeros(a1_s.shape, jnp.float32)
+            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
-        def body(k, _):
-            blank = blank_ref[:, k, 0]  # [block_B]
-            pm = pm_ref[:, k, :]  # [block_B, Lpad]
-            dc = dc_ref[:, k, :]
-            do = do_ref[:, k, :]
+        def step(k, _):
+            blank = blank_ref[:, k, :]  # [bb, 1]
+            dc = dc_ref[:, k, :]  # [bb, Lpad]
+            pm = pt_ref[:, k, :] * nb_ref[:]
+            do = dc * rep_ref[:]
             a0 = a0_s[:]
             a1 = a1_s[:]
-            horiz_closed = jnp.logaddexp(a0, a1) + blank[:, None]
-            horiz_open = a1 + pm
-            diag = jnp.logaddexp(a0 + dc, a1 + do)
-            diag = pltpu.roll(diag, shift=1, axis=1)
-            a1_new = jnp.logaddexp(horiz_open, diag)
-            a0_s[:] = horiz_closed
-            a1_s[:] = a1_new
-            if emit_all:
-                out0_ref[:, k, :] = horiz_closed
-                out1_ref[:, k, :] = a1_new
+            e = e_s[:]
+            if mode == "pre":
+                o0_ref[:, k, :] = a0
+                o1_ref[:, k, :] = a1
+                oe_ref[:, k, :] = e
+
+            d = a0 * dc + a1 * do  # diagonal mass leaving lane l (scale e)
+            # Dead lanes (mantissa 0) must not contribute their stale
+            # exponent to the scale max, or mass arriving at a far lane
+            # (true scale far below the stale 0) would flush to zero.
+            e_eff = jnp.where(jnp.maximum(a0, a1) > 0.0, e, -_EBIG)
+            d_r = pltpu.roll(d, shift=1, axis=1)
+            e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
+            # the wrap lane carries probability 0; kill its stale exponent
+            lane = _lane_iota(e_r.shape)
+            e_r = jnp.where(lane == 0, -_EBIG, e_r)
+
+            et = jnp.maximum(e_eff, e_r)
+            sa = _pow2_nonpos(e_eff - et)
+            sd = _pow2_nonpos(e_r - et)
+            n0 = (a0 + a1) * blank * sa
+            n1 = (a1 * pm) * sa + d_r * sd
+            (n0, n1), e_new = _renorm([n0, n1], et)
+            a0_s[:] = n0
+            a1_s[:] = n1
+            e_s[:] = e_new
             return 0
 
-        jax.lax.fori_loop(0, block_t, body, 0)
-        if not emit_all:
-            fin0_ref[:] = a0_s[:]
-            fin1_ref[:] = a1_s[:]
+        if get_config().unroll:
+            for _k in range(block_t):
+                step(_k, 0)
+        else:
+            jax.lax.fori_loop(0, block_t, step, 0)
+        if mode == "final":
+            f0_ref[:] = a0_s[:]
+            f1_ref[:] = a1_s[:]
+            fe_ref[:] = e_s[:]
 
     return kernel
 
 
-def _classic_beta_kernel(block_t: int):
-    """beta kernel body, time-reversed; carry = (closed, open) in scratch."""
+def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
+    cfg = get_config()
+    bpad, tpad, lpad = dc.shape
+    n_tb = tpad // bt
+    grid = (bpad // bb, n_tb)
+    big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
+    small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, j, 0))
+    vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+
+    if mode == "pre":
+        out_shape = (
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.int32),
+        )
+        out_specs = (big, big, big)
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        )
+        out_specs = (vec, vec, vec)
+
+    return pl.pallas_call(
+        _classic_fwd_kernel(mode, bt),
+        grid=grid,
+        in_specs=[small, big, big, vec, vec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=cfg.interpret,
+    )(blank, dc, pt, nb, rep)
+
+
+@jax.jit
+def _classic_loss_fast_impl(ctx: CtcContext):
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    lpad = _round_up(lp1, 128)
+    bb, bt = _fit_blocks(lpad, num_big_buffers=5, num_t=num_t, batch=batch)
+    bpad = _round_up(batch, bb)
+    tpad = _round_up(num_t, bt)
+    blank, dc, pt, nb, rep, _, _ = _classic_padded_inputs(ctx, bpad, tpad, lpad)
+    f0, f1, fe = _classic_fwd_call(blank, dc, pt, nb, rep, mode="final", bb=bb, bt=bt)
+    total = (f0 + f1)[:batch, :lp1]
+    e = fe[:batch, :lp1]
+    picked = jnp.take_along_axis(total, ctx.label_length[:, None], axis=1)[:, 0]
+    picked_e = jnp.take_along_axis(e, ctx.label_length[:, None], axis=1)[:, 0]
+    return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+
+
+def classic_loss_fast(ctx: CtcContext) -> Array:
+    """Forward-only classic loss; alpha never materialised in HBM.
+
+    ``loss = -logsumexp_s alpha[T]`` gathered at label_length
+    (classic_ctc_loss.py:152-165); in probability space the state-logsumexp
+    is a plain add: ``loss = -(log(a0 + a1) + e*ln2)`` at the picked lane.
+    """
+    batch, num_t, _ = ctx.logproba.shape
+    if num_t == 0 or batch == 0:
+        return classic_mod.loss(ctx, classic_mod.alpha(ctx))
+    return _classic_loss_fast_impl(ctx)
+
+
+def _classic_bwd_kernel(block_t: int):
+    """Fused block-float backward scan (classic_ctc_loss.py:349-364,
+    565-669): beta on the fly + gradient acts + beta[0] for the loss."""
 
     def kernel(
-        blank_ref, pm_ref, dc_ref, do_ref, init0_ref, init1_ref,
-        out0_ref, out1_ref, b0_s, b1_s,
+        blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
+        a0_ref, a1_ref, ae_ref,
+        ph_ref, pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+        b0_s, b1_s, e_s,
+    ):
+        j = pl.program_id(1)
+
+        def step(kk, _):
+            k = block_t - 1 - kk
+            blank = blank_ref[:, k, :]
+            dc = dc_ref[:, k, :]
+            pt = pt_ref[:, k, :]
+            pm = pt * nb_ref[:]
+            do = dc * rep_ref[:]
+            a0 = a0_ref[:, k, :]
+            a1 = a1_ref[:, k, :]
+            ae = ae_ref[:, k, :]
+            b0 = b0_s[:]
+            b1 = b1_s[:]
+            eb = e_s[:]
+            lpad = b1.shape[1]
+
+            b1_r = pltpu.roll(b1, shift=lpad - 1, axis=1)  # lane l+1 -> l
+            eb_r = _iroll(eb, lpad - 1)
+            lane = _lane_iota(eb_r.shape)
+            eb_r = jnp.where(lane == lpad - 1, -_EBIG, eb_r)
+
+            # ---- gradient acts at time t (classic_ctc_loss.py:609-640) ----
+            ph = a1 * pt * b1  # exponent ga = ae + eb
+            pd = (a0 * dc + a1 * do) * b1_r  # exponent gd = ae + eb_r
+            ab = (a0 + a1) * b0  # exponent ga
+            ga = ae + eb
+            gd = ae + eb_r
+            ga_eff = jnp.where(ph > 0.0, ga, -_EBIG)
+            gd_eff = jnp.where(pd > 0.0, gd, -_EBIG)
+            e_act = jnp.max(
+                jnp.maximum(ga_eff, gd_eff), axis=1, keepdims=True
+            )
+            ph_ref[:, k, :] = ph * _pow2_nonpos(ga - e_act)
+            pd_ref[:, k, :] = pd * _pow2_nonpos(gd - e_act)
+            m_ref[:, k, :] = e_act.astype(jnp.float32) * LN2
+
+            gab_eff = jnp.where(ab > 0.0, ga, -_EBIG)
+            e_ab = jnp.max(gab_eff, axis=1, keepdims=True)
+            s_ab = jnp.sum(ab * _pow2_nonpos(ga - e_ab), axis=1, keepdims=True)
+            bl_ref[:, k, :] = (
+                jnp.log(blank * s_ab) + e_ab.astype(jnp.float32) * LN2
+            )
+
+            # ---- beta step -> beta[t] ------------------------------------
+            eb_eff = jnp.where(jnp.maximum(b0, b1) > 0.0, eb, -_EBIG)
+            eb_r_eff = jnp.where(b1_r > 0.0, eb_r, -_EBIG)
+            et = jnp.maximum(eb_eff, eb_r_eff)
+            sb = _pow2_nonpos(eb_eff - et)
+            sd = _pow2_nonpos(eb_r_eff - et)
+            hc = (blank * b0) * sb
+            ho = hc + (pm * b1) * sb
+            b1n = b1_r * sd
+            n0 = hc + dc * b1n
+            n1 = ho + do * b1n
+            (n0, n1), e_new = _renorm([n0, n1], et)
+            b0_s[:] = n0
+            b1_s[:] = n1
+            e_s[:] = e_new
+            return 0
+
+        if get_config().unroll:
+            for _k in range(block_t):
+                step(_k, 0)
+        else:
+            jax.lax.fori_loop(0, block_t, step, 0)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            # beta[0]: loss = -log(alpha0 . beta0) = -(log b0[l=0] + e*ln2)
+            fin_ref[:] = b0_s[:]
+            fe_ref[:] = e_s[:]
+
+    return kernel
+
+
+def _classic_bwd_call(
+    blank, dc, pt, nb, rep, a0, a1, ae, init_lane, *, bb, bt
+):
+    """init_lane: [bpad, lpad] f32 one-hot at label_length (beta init for
+    both states, classic_ctc_loss.py:366-377)."""
+    cfg = get_config()
+    bpad, tpad, lpad = dc.shape
+    n_tb = tpad // bt
+    grid = (bpad // bb, n_tb)
+    big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
+    vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+
+    def kernel_with_init(
+        init_ref, blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
+        a0_ref, a1_ref, ae_ref,
+        ph_ref, pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+        b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            b0_s[:] = init0_ref[:]
-            b1_s[:] = init1_ref[:]
+            b0_s[:] = init_ref[:]
+            b1_s[:] = init_ref[:]
+            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
-        def body(kk, _):
-            k = block_t - 1 - kk
-            blank = blank_ref[:, k, 0]
-            pm = pm_ref[:, k, :]
-            dc = dc_ref[:, k, :]
-            do = do_ref[:, k, :]
-            b0 = b0_s[:]
-            b1 = b1_s[:]
-            horiz_closed = blank[:, None] + b0
-            horiz_open = jnp.logaddexp(horiz_closed, pm + b1)
-            # pltpu.roll requires non-negative shifts: -1 == lpad - 1
-            b1_next = pltpu.roll(b1, shift=b1.shape[1] - 1, axis=1)
-            new0 = jnp.logaddexp(horiz_closed, dc + b1_next)
-            new1 = jnp.logaddexp(horiz_open, do + b1_next)
-            b0_s[:] = new0
-            b1_s[:] = new1
-            out0_ref[:, k, :] = new0
-            out1_ref[:, k, :] = new1
-            return 0
-
-        jax.lax.fori_loop(0, block_t, body, 0)
-
-    return kernel
-
-
-def _classic_kernel_inputs(ctx: CtcContext):
-    """Transition tensors, batch-major [B, T, Lp1] + time-major blank [T, B]."""
-    t = classic_mod.terms(ctx)
-    return t.blank_lp, t.prev_tok_masked, t.diag_closed, t.diag_open
-
-
-@functools.partial(jax.jit, static_argnames=("emit_all",))
-def _classic_alpha_pallas(blank, pm, dc, do, *, emit_all: bool):
-    cfg = get_config()
-    batch, num_t, lp1 = pm.shape
-    bb = min(cfg.block_batch, max(batch, 1))
-    bt = min(cfg.block_time, max(num_t, 1))
-    bpad = _round_up(max(batch, 1), bb)
-    tpad = _round_up(max(num_t, 1), bt)
-    lpad = _round_up(lp1, 128)
-
-    blank_p = jnp.pad(
-        blank[:, :, None],
-        ((0, bpad - batch), (0, tpad - num_t), (0, 0)),
-        constant_values=0.0,
-    )
-    pm_p = _pad3(pm, bpad, tpad, lpad, NEG_INF)
-    dc_p = _pad3(dc, bpad, tpad, lpad, NEG_INF)
-    do_p = _pad3(do, bpad, tpad, lpad, NEG_INF)
-
-    grid = (bpad // bb, tpad // bt)
-    big_spec = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
-    blank_spec = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, j, 0))
-
-    if emit_all:
-        out_shape = (
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+        inner = _classic_bwd_kernel(bt)
+        inner(
+            blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
+            a0_ref, a1_ref, ae_ref,
+            ph_ref, pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+            b0_s, b1_s, e_s,
         )
-        out_specs = (big_spec, big_spec)
-    else:
-        out_shape = (
-            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
-        )
-        fin_spec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
-        out_specs = (fin_spec, fin_spec)
 
-    out = pl.pallas_call(
-        _classic_alpha_kernel(emit_all, bt),
+    return pl.pallas_call(
+        kernel_with_init,
         grid=grid,
-        in_specs=[blank_spec, big_spec, big_spec, big_spec],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bb, lpad), jnp.float32),
-            pltpu.VMEM((bb, lpad), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=cfg.interpret,
-    )(blank_p, pm_p, dc_p, do_p)
-    return out
-
-
-def classic_alpha(ctx: CtcContext) -> Array:
-    """Drop-in replacement for ops.classic.alpha via the Pallas kernel."""
-    blank, pm, dc, do = _classic_kernel_inputs(ctx)
-    batch, num_t, lp1 = pm.shape
-    out0, out1 = _classic_alpha_pallas(blank, pm, dc, do, emit_all=True)
-    stacked = jnp.stack(
-        [out0[:batch, :num_t, :lp1], out1[:batch, :num_t, :lp1]], axis=-1
-    )  # [B, T, Lp1, 2]
-    init = classic_mod._alpha_init(ctx)
-    return jnp.concatenate([init[:, None], stacked], axis=1)
-
-
-def classic_alpha_final(ctx: CtcContext) -> Array:
-    """Final alpha slice [B, Lp1, 2] without materialising the full tensor."""
-    blank, pm, dc, do = _classic_kernel_inputs(ctx)
-    batch, num_t, lp1 = pm.shape
-    if num_t == 0:
-        return classic_mod._alpha_init(ctx)
-    f0, f1 = _classic_alpha_pallas(blank, pm, dc, do, emit_all=False)
-    return jnp.stack([f0[:batch, :lp1], f1[:batch, :lp1]], axis=-1)
-
-
-@jax.jit
-def _classic_beta_pallas(blank, pm, dc, do, init0, init1):
-    cfg = get_config()
-    batch, num_t, lp1 = pm.shape
-    bb = min(cfg.block_batch, max(batch, 1))
-    bt = min(cfg.block_time, max(num_t, 1))
-    bpad = _round_up(max(batch, 1), bb)
-    tpad = _round_up(max(num_t, 1), bt)
-    lpad = _round_up(lp1, 128)
-
-    # Padded *trailing* time steps must be consumed first (reverse scan), and
-    # as forced-blank no-ops they leave the carry equal to the init slice.
-    blank_p = jnp.pad(
-        blank[:, :, None],
-        ((0, bpad - batch), (0, tpad - num_t), (0, 0)),
-        constant_values=0.0,
-    )
-    pm_p = _pad3(pm, bpad, tpad, lpad, NEG_INF)
-    dc_p = _pad3(dc, bpad, tpad, lpad, NEG_INF)
-    do_p = _pad3(do, bpad, tpad, lpad, NEG_INF)
-    init0_p = jnp.pad(
-        init0, ((0, bpad - batch), (0, lpad - lp1)), constant_values=NEG_INF
-    )
-    init1_p = jnp.pad(
-        init1, ((0, bpad - batch), (0, lpad - lp1)), constant_values=NEG_INF
-    )
-
-    n_tb = tpad // bt
-    grid = (bpad // bb, n_tb)
-    big_spec = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
-    blank_spec = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
-    init_spec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
-
-    out0, out1 = pl.pallas_call(
-        _classic_beta_kernel(bt),
-        grid=grid,
-        in_specs=[blank_spec, big_spec, big_spec, big_spec, init_spec, init_spec],
-        out_specs=(big_spec, big_spec),
+        in_specs=[vec, small, big, big, vec, vec, big, big, big],
+        out_specs=(big, big, small, small, vec, vec),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bb, lpad), jnp.float32),
             pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(blank_p, pm_p, dc_p, do_p, init0_p, init1_p)
-    return out0, out1
+    )(init_lane, blank, dc, pt, nb, rep, a0, a1, ae)
 
 
-def classic_beta(ctx: CtcContext) -> Array:
-    """Drop-in replacement for ops.classic.beta via the Pallas kernel."""
-    blank, pm, dc, do = _classic_kernel_inputs(ctx)
-    batch, num_t, lp1 = pm.shape
-    init = classic_mod._beta_last(ctx)
-    out0, out1 = _classic_beta_pallas(
-        blank, pm, dc, do, init[..., 0], init[..., 1]
+@jax.jit
+def _classic_grad_impl(ctx: CtcContext):
+    """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels."""
+    batch, num_t, num_tokens = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    lpad = _round_up(lp1, 128)
+    bb, bt = _fit_blocks(lpad, num_big_buffers=10, num_t=num_t, batch=batch)
+    bpad = _round_up(batch, bb)
+    tpad = _round_up(num_t, bt)
+
+    blank, dc, pt, nb, rep, oh_label, oh_prec = _classic_padded_inputs(
+        ctx, bpad, tpad, lpad
     )
-    stacked = jnp.stack(
-        [out0[:batch, :num_t, :lp1], out1[:batch, :num_t, :lp1]], axis=-1
+    a0, a1, ae = _classic_fwd_call(blank, dc, pt, nb, rep, mode="pre", bb=bb, bt=bt)
+    init_lane = (
+        _lane_iota((bpad, lpad))
+        == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
+    ).astype(jnp.float32)
+    ph, pd, m, bl, fin, fe = _classic_bwd_call(
+        blank, dc, pt, nb, rep, a0, a1, ae, init_lane, bb=bb, bt=bt
     )
-    return jnp.concatenate([stacked, init[:, None]], axis=1)
+    fast_loss = -(
+        jnp.log(fin[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
+    )
+
+    # token scatter on the MXU; both acts share the normaliser m
+    sums = jnp.einsum(
+        "btl,blv->btv", ph, oh_prec, precision=jax.lax.Precision.HIGHEST
+    ) + jnp.einsum(
+        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
+    )
+    non_blank = m[:, :, 0:1] + jnp.log(sums)
+    token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
+    combined = jnp.where(
+        token_is_blank[None, None, :], bl[:, :, 0:1], non_blank
+    )[:batch, :num_t]
+    return combined, fast_loss
+
+
+def classic_gradient_log_with_loss(ctx: CtcContext, loss=None):
+    """Fused-kernel ``core.gradient_log`` for the classic topology.
+
+    Returns ``(log(-grad), fast_loss)``; semantics identical to the pure
+    path (base_loss.py:270-298).  ``fast_loss`` is always the kernel-derived
+    loss (from beta[0]) — it doubles as the flush detector for the
+    saturation guard in ops/topology.py.  When ``loss`` is None the derived
+    value is also used for the output assembly (no extra forward pass).
+    """
+    from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
+
+    batch, num_t, num_tokens = ctx.logproba.shape
+    if batch == 0 or num_t == 0:
+        empty = jnp.full((batch, num_t, num_tokens), NEG_INF, jnp.float32)
+        if loss is None:
+            loss = classic_mod.loss(ctx, classic_mod.alpha(ctx))
+        return empty, loss
+
+    combined, fast_loss = _classic_grad_impl(ctx)
+    if loss is None:
+        loss = fast_loss
+    out = loss[:, None, None] + combined
+    out = jnp.where(jnp.isposinf(loss)[:, None, None], NEG_INF, out)
+    out = apply_logarithmic_mask(out, ctx.logit_length_mask[:, :, None])
+    return out, fast_loss
+
+
+def classic_gradient_log(ctx: CtcContext, loss=None) -> Array:
+    return classic_gradient_log_with_loss(ctx, loss)[0]
 
 
 # ---------------------------------------------------------------------------
-# simplified topology
+# simplified topology kernels
 # ---------------------------------------------------------------------------
 
 
-def _simplified_kernel(direction: int, emit_all: bool, block_t: int):
-    """Single-state lattice scan; direction +1 = alpha, -1 = beta."""
+def _simplified_fwd_kernel(mode: str, block_t: int):
+    """Block-float single-state alpha scan (simplified_ctc_loss.py:358-438)."""
 
-    def kernel(blank_ref, diag_ref, init_ref, *rest):
-        if emit_all:
-            out_ref, carry_s = rest
+    def kernel(blank_ref, dg_ref, *rest):
+        if mode == "pre":
+            o_ref, oe_ref, a_s, e_s = rest
         else:
-            fin_ref, carry_s = rest
+            f_ref, fe_ref, a_s, e_s = rest
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            carry_s[:] = init_ref[:]
+            lane = _lane_iota(a_s.shape)
+            a_s[:] = jnp.where(lane == 0, 1.0, 0.0)
+            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
-        def body(kk, _):
-            k = kk if direction == 1 else block_t - 1 - kk
-            blank = blank_ref[:, k, 0]
-            diag = diag_ref[:, k, :]
-            c = carry_s[:]
-            horizontal = c + blank[:, None]
-            if direction == 1:
-                moved = pltpu.roll(c + diag, shift=1, axis=1)
-            else:
-                # pltpu.roll requires non-negative shifts: -1 == lpad - 1
-                moved = diag + pltpu.roll(c, shift=c.shape[1] - 1, axis=1)
-            new = jnp.logaddexp(horizontal, moved)
-            carry_s[:] = new
-            if emit_all:
-                out_ref[:, k, :] = new
+        def step(k, _):
+            blank = blank_ref[:, k, :]
+            dg = dg_ref[:, k, :]
+            a = a_s[:]
+            e = e_s[:]
+            if mode == "pre":
+                o_ref[:, k, :] = a
+                oe_ref[:, k, :] = e
+
+            d = a * dg
+            e_eff = jnp.where(a > 0.0, e, -_EBIG)
+            d_r = pltpu.roll(d, shift=1, axis=1)
+            e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
+            lane = _lane_iota(e_r.shape)
+            e_r = jnp.where(lane == 0, -_EBIG, e_r)
+
+            et = jnp.maximum(e_eff, e_r)
+            n = (a * blank) * _pow2_nonpos(e_eff - et) + d_r * _pow2_nonpos(e_r - et)
+            (n,), e_new = _renorm([n], et)
+            a_s[:] = n
+            e_s[:] = e_new
             return 0
 
-        jax.lax.fori_loop(0, block_t, body, 0)
-        if not emit_all:
-            fin_ref[:] = carry_s[:]
+        if get_config().unroll:
+            for _k in range(block_t):
+                step(_k, 0)
+        else:
+            jax.lax.fori_loop(0, block_t, step, 0)
+        if mode == "final":
+            f_ref[:] = a_s[:]
+            fe_ref[:] = e_s[:]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("direction", "emit_all"))
-def _simplified_pallas(blank, diag, init, *, direction: int, emit_all: bool):
+def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
     cfg = get_config()
-    batch, num_t, lp1 = diag.shape
-    bb = min(cfg.block_batch, max(batch, 1))
-    bt = min(cfg.block_time, max(num_t, 1))
-    bpad = _round_up(max(batch, 1), bb)
-    tpad = _round_up(max(num_t, 1), bt)
-    lpad = _round_up(lp1, 128)
-
-    blank_p = jnp.pad(
-        blank[:, :, None],
-        ((0, bpad - batch), (0, tpad - num_t), (0, 0)),
-        constant_values=0.0,
-    )
-    diag_p = _pad3(diag, bpad, tpad, lpad, NEG_INF)
-    init_p = jnp.pad(
-        init, ((0, bpad - batch), (0, lpad - lp1)), constant_values=NEG_INF
-    )
-
+    bpad, tpad, lpad = dg.shape
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
-    if direction == 1:
-        tmap = lambda i, j: (i, j, 0)  # noqa: E731
-    else:
-        tmap = lambda i, j: (i, n_tb - 1 - j, 0)  # noqa: E731
-    big_spec = pl.BlockSpec((bb, bt, lpad), tmap)
-    blank_spec = pl.BlockSpec((bb, bt, 1), tmap)
-    init_spec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
+    small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, j, 0))
+    vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
 
-    if emit_all:
-        out_shape = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
-        out_specs = big_spec
+    if mode == "pre":
+        out_shape = (
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.int32),
+        )
+        out_specs = (big, big)
     else:
-        out_shape = jax.ShapeDtypeStruct((bpad, lpad), jnp.float32)
-        out_specs = init_spec
+        out_shape = (
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        )
+        out_specs = (vec, vec)
 
     return pl.pallas_call(
-        _simplified_kernel(direction, emit_all, bt),
+        _simplified_fwd_kernel(mode, bt),
         grid=grid,
-        in_specs=[blank_spec, big_spec, init_spec],
+        in_specs=[small, big],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((bb, lpad), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(blank_p, diag_p, init_p)
+    )(blank, dg)
 
 
-def simplified_alpha(ctx: CtcContext) -> Array:
+@jax.jit
+def _simplified_loss_fast_impl(ctx: CtcContext):
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    lpad = _round_up(lp1, 128)
+    bb, bt = _fit_blocks(lpad, num_big_buffers=3, num_t=num_t, batch=batch)
+    bpad = _round_up(batch, bb)
+    tpad = _round_up(num_t, bt)
+    blank, dg, _ = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
+    fin, fe = _simplified_fwd_call(blank, dg, mode="final", bb=bb, bt=bt)
+    picked = jnp.take_along_axis(
+        fin[:batch, :lp1], ctx.label_length[:, None], axis=1
+    )[:, 0]
+    picked_e = jnp.take_along_axis(
+        fe[:batch, :lp1], ctx.label_length[:, None], axis=1
+    )[:, 0]
+    return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+
+
+def simplified_loss_fast(ctx: CtcContext) -> Array:
+    """Forward-only simplified loss (simplified_ctc_loss.py:73-83)."""
     from tf_seq2seq_losses_tpu.ops import simplified as s
 
     batch, num_t, _ = ctx.logproba.shape
+    if num_t == 0 or batch == 0:
+        return s.loss(ctx, s.alpha(ctx))
+    return _simplified_loss_fast_impl(ctx)
+
+
+def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
+    cfg = get_config()
+    bpad, tpad, lpad = dg.shape
+    n_tb = tpad // bt
+    grid = (bpad // bb, n_tb)
+    big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
+    vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+
+    def kernel(
+        init_ref, blank_ref, dg_ref, a_ref, ae_ref,
+        pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+        b_s, e_s,
+    ):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            b_s[:] = init_ref[:]
+            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
+
+        def step(kk, _):
+            k = bt - 1 - kk
+            blank = blank_ref[:, k, :]
+            dg = dg_ref[:, k, :]
+            a = a_ref[:, k, :]
+            ea = ae_ref[:, k, :]
+            b = b_s[:]
+            eb = e_s[:]
+            lpad_ = b.shape[1]
+
+            b_r = pltpu.roll(b, shift=lpad_ - 1, axis=1)
+            eb_r = _iroll(eb, lpad_ - 1)
+            lane = _lane_iota(eb_r.shape)
+            eb_r = jnp.where(lane == lpad_ - 1, -_EBIG, eb_r)
+
+            # acts (simplified_ctc_loss.py:456-534)
+            pd = (a * dg) * b_r  # exponent gd = ea + eb_r
+            ab = a * b  # exponent ga = ea + eb
+            ga = ea + eb
+            gd = ea + eb_r
+            gd_eff = jnp.where(pd > 0.0, gd, -_EBIG)
+            e_act = jnp.max(gd_eff, axis=1, keepdims=True)
+            pd_ref[:, k, :] = pd * _pow2_nonpos(gd - e_act)
+            m_ref[:, k, :] = e_act.astype(jnp.float32) * LN2
+
+            ga_eff = jnp.where(ab > 0.0, ga, -_EBIG)
+            e_ab = jnp.max(ga_eff, axis=1, keepdims=True)
+            s_ab = jnp.sum(ab * _pow2_nonpos(ga - e_ab), axis=1, keepdims=True)
+            bl_ref[:, k, :] = (
+                jnp.log(blank * s_ab) + e_ab.astype(jnp.float32) * LN2
+            )
+
+            # beta step (simplified_ctc_loss.py:291-343)
+            eb_eff = jnp.where(b > 0.0, eb, -_EBIG)
+            eb_r_eff = jnp.where(b_r > 0.0, eb_r, -_EBIG)
+            et = jnp.maximum(eb_eff, eb_r_eff)
+            n = (blank * b) * _pow2_nonpos(eb_eff - et) + (
+                dg * b_r
+            ) * _pow2_nonpos(eb_r_eff - et)
+            (n,), e_new = _renorm([n], et)
+            b_s[:] = n
+            e_s[:] = e_new
+            return 0
+
+        if get_config().unroll:
+            for _k in range(bt):
+                step(_k, 0)
+        else:
+            jax.lax.fori_loop(0, bt, step, 0)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            fin_ref[:] = b_s[:]
+            fe_ref[:] = e_s[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vec, small, big, big, big],
+        out_specs=(big, small, small, vec, vec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=cfg.interpret,
+    )(init_lane, blank, dg, a, ae)
+
+
+@jax.jit
+def _simplified_grad_impl(ctx: CtcContext):
+    batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    init = s._alpha_init(ctx)
-    out = _simplified_pallas(
-        ctx.blank_lp, ctx.expected_token_lp, init, direction=1, emit_all=True
+    lpad = _round_up(lp1, 128)
+    bb, bt = _fit_blocks(lpad, num_big_buffers=6, num_t=num_t, batch=batch)
+    bpad = _round_up(batch, bb)
+    tpad = _round_up(num_t, bt)
+
+    blank, dg, oh_label = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
+    a, ae = _simplified_fwd_call(blank, dg, mode="pre", bb=bb, bt=bt)
+    init_lane = (
+        _lane_iota((bpad, lpad))
+        == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
+    ).astype(jnp.float32)
+    pd, m, bl, fin, fe = _simplified_bwd_call(
+        blank, dg, a, ae, init_lane, bb=bb, bt=bt
     )
-    return jnp.concatenate(
-        [init[:, None], out[:batch, :num_t, :lp1]], axis=1
+    fast_loss = -(
+        jnp.log(fin[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
     )
 
+    sums = jnp.einsum(
+        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
+    )
+    non_blank = m[:, :, 0:1] + jnp.log(sums)
+    token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
+    combined = jnp.where(
+        token_is_blank[None, None, :], bl[:, :, 0:1], non_blank
+    )[:batch, :num_t]
+    return combined, fast_loss
 
-def simplified_alpha_final(ctx: CtcContext) -> Array:
+
+def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None):
+    """Fused-kernel ``core.gradient_log`` for the simplified topology."""
     from tf_seq2seq_losses_tpu.ops import simplified as s
+    from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
 
-    batch, num_t, _ = ctx.logproba.shape
-    lp1 = ctx.label.shape[1]
-    init = s._alpha_init(ctx)
-    if num_t == 0:
-        return init
-    out = _simplified_pallas(
-        ctx.blank_lp, ctx.expected_token_lp, init, direction=1, emit_all=False
-    )
-    return out[:batch, :lp1]
+    batch, num_t, num_tokens = ctx.logproba.shape
+    if batch == 0 or num_t == 0:
+        empty = jnp.full((batch, num_t, num_tokens), NEG_INF, jnp.float32)
+        if loss is None:
+            loss = s.loss(ctx, s.alpha(ctx))
+        return empty, loss
+
+    combined, fast_loss = _simplified_grad_impl(ctx)
+    if loss is None:
+        loss = fast_loss
+    out = loss[:, None, None] + combined
+    out = jnp.where(jnp.isposinf(loss)[:, None, None], NEG_INF, out)
+    out = apply_logarithmic_mask(out, ctx.logit_length_mask[:, :, None])
+    return out, fast_loss
 
 
-def simplified_beta(ctx: CtcContext) -> Array:
-    from tf_seq2seq_losses_tpu.ops import simplified as s
-
-    batch, num_t, _ = ctx.logproba.shape
-    lp1 = ctx.label.shape[1]
-    init = s._beta_last(ctx)
-    out = _simplified_pallas(
-        ctx.blank_lp, ctx.expected_token_lp, init, direction=-1, emit_all=True
-    )
-    return jnp.concatenate(
-        [out[:batch, :num_t, :lp1], init[:, None]], axis=1
-    )
+def simplified_gradient_log(ctx: CtcContext, loss=None) -> Array:
+    return simplified_gradient_log_with_loss(ctx, loss)[0]

@@ -1,20 +1,35 @@
 """Topology objects: pure-XLA reference path vs Pallas kernel path.
 
 Each topology exposes ``alpha``, ``beta``, ``gamma``, ``combine``, ``loss``
-and ``loss_fast``.  The pure ``lax.scan`` implementations (ops/classic.py,
-ops/simplified.py) are the correctness oracle and the CPU/GPU fallback; the
-Pallas kernels (ops/pallas_lattice.py) are the TPU hot path.  Selection
-happens at trace time via :mod:`tf_seq2seq_losses_tpu.utils.config`.
+plus the hot-path entry points ``loss_fast`` and ``gradient_log_fast``.  The
+pure ``lax.scan`` implementations (ops/classic.py, ops/simplified.py) are the
+correctness oracle and the CPU/GPU fallback; the Pallas probability-space
+kernels (ops/pallas_lattice.py) are the TPU hot path.  Selection happens at
+trace time via :mod:`tf_seq2seq_losses_tpu.utils.config`.
 
-``gamma`` (Hessian-only, O(T^2 L^2)) always uses the pure path — it is a
-small-shape feature exactly as in the reference (SURVEY §5).
+``alpha``/``beta``/``gamma`` (the full log-space lattice tensors — used by
+the Hessian path and the reference-parity data objects) always use the pure
+path: they are exact for arbitrarily extreme inputs and only demanded at
+small shapes.
+
+**Saturation guard.**  The probability-space kernels flush lattice entries
+more than ~87 nats below their row maximum to zero (float32 range).  For any
+sane input this is exactly the right answer (those paths carry probability
+0 to within float32), but the reference guarantees finite results for logits
+at +-1e10 (README.md:74-78; test_simplified_ctc_loss.py:162-183).  The fast
+paths therefore carry a runtime guard: if any sample's fast loss comes out
+non-finite even though its label/logit lengths make it feasible, a
+``lax.cond`` reroutes the batch to the exact log-space pure path.  Normal
+inputs never trigger it; the compiled slow branch costs nothing unless taken.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from tf_seq2seq_losses_tpu.ops import classic as _classic
+from tf_seq2seq_losses_tpu.ops import core as _core
 from tf_seq2seq_losses_tpu.ops import simplified as _simplified
 from tf_seq2seq_losses_tpu.ops.core import CtcContext
 from tf_seq2seq_losses_tpu.utils.config import get_config
@@ -28,19 +43,40 @@ def _pallas():
     return pallas_lattice
 
 
+def _classic_feasible(ctx: CtcContext) -> Array:
+    """Per-sample feasibility by lengths (classic_ctc_loss.py:50-52):
+    adjacent repeated labels each require an extra blank frame."""
+    lab = ctx.label
+    idx = jnp.arange(lab.shape[1])
+    rep = (
+        (lab == jnp.roll(lab, 1, axis=1))
+        & (idx[None, :] > 0)
+        & (idx[None, :] < ctx.label_length[:, None])
+    )
+    repeats = jnp.sum(rep.astype(jnp.int32), axis=1)
+    return ctx.logit_length >= ctx.label_length + repeats
+
+
+def _simplified_feasible(ctx: CtcContext) -> Array:
+    return ctx.logit_length >= ctx.label_length
+
+
+def _guarded(fast_value, fallback_fn, loss_like, feasible):
+    """Select ``fast_value`` unless a feasible sample produced a non-finite
+    fast loss (float32 underflow in probability space)."""
+    flushed = jnp.any(~jnp.isfinite(loss_like) & feasible)
+    return jax.lax.cond(flushed, fallback_fn, lambda: fast_value)
+
+
 class ClassicTopology:
     name = "classic"
 
     @staticmethod
     def alpha(ctx: CtcContext) -> Array:
-        if get_config().pallas_enabled():
-            return _pallas().classic_alpha(ctx)
         return _classic.alpha(ctx)
 
     @staticmethod
     def beta(ctx: CtcContext) -> Array:
-        if get_config().pallas_enabled():
-            return _pallas().classic_beta(ctx)
         return _classic.beta(ctx)
 
     @staticmethod
@@ -57,12 +93,34 @@ class ClassicTopology:
 
     @staticmethod
     def loss_fast(ctx: CtcContext) -> Array:
-        """Forward-only loss: on the Pallas path the full alpha tensor is
-        never written to HBM — only the final lattice slice."""
-        if get_config().pallas_enabled():
-            final = _pallas().classic_alpha_final(ctx)  # [B, Lp1, 2]
-            return _classic.loss(ctx, final[:, None])
-        return _classic.loss(ctx, _classic.alpha(ctx))
+        """Forward-only loss: on the Pallas path alpha never hits HBM."""
+        if not get_config().pallas_enabled():
+            return _classic.loss(ctx, _classic.alpha(ctx))
+        fast = _pallas().classic_loss_fast(ctx)
+        return _guarded(
+            fast,
+            lambda: _classic.loss(ctx, _classic.alpha(ctx)),
+            fast,
+            _classic_feasible(ctx),
+        )
+
+    @staticmethod
+    def gradient_log_fast(ctx: CtcContext, loss=None) -> Array:
+        """log(-grad) via the fused backward kernel (beta never hits HBM).
+
+        ``loss`` may be None: the fused kernel recovers it from beta[0]
+        (no extra forward pass); the pure fallback recomputes it from alpha
+        (XLA CSE merges the duplicate alpha scan under jit).
+        """
+
+        def pure():
+            pure_loss = _classic.loss(ctx, _classic.alpha(ctx))
+            return _core.gradient_log(ClassicTopology, ctx, pure_loss)
+
+        if not get_config().pallas_enabled():
+            return pure()
+        fast, fast_loss = _pallas().classic_gradient_log_with_loss(ctx, loss)
+        return _guarded(fast, pure, fast_loss, _classic_feasible(ctx))
 
 
 class SimplifiedTopology:
@@ -70,14 +128,10 @@ class SimplifiedTopology:
 
     @staticmethod
     def alpha(ctx: CtcContext) -> Array:
-        if get_config().pallas_enabled():
-            return _pallas().simplified_alpha(ctx)
         return _simplified.alpha(ctx)
 
     @staticmethod
     def beta(ctx: CtcContext) -> Array:
-        if get_config().pallas_enabled():
-            return _pallas().simplified_beta(ctx)
         return _simplified.beta(ctx)
 
     @staticmethod
@@ -94,10 +148,26 @@ class SimplifiedTopology:
 
     @staticmethod
     def loss_fast(ctx: CtcContext) -> Array:
-        if get_config().pallas_enabled():
-            final = _pallas().simplified_alpha_final(ctx)  # [B, Lp1]
-            return _simplified.loss(ctx, final[:, None])
-        return _simplified.loss(ctx, _simplified.alpha(ctx))
+        if not get_config().pallas_enabled():
+            return _simplified.loss(ctx, _simplified.alpha(ctx))
+        fast = _pallas().simplified_loss_fast(ctx)
+        return _guarded(
+            fast,
+            lambda: _simplified.loss(ctx, _simplified.alpha(ctx)),
+            fast,
+            _simplified_feasible(ctx),
+        )
+
+    @staticmethod
+    def gradient_log_fast(ctx: CtcContext, loss=None) -> Array:
+        def pure():
+            pure_loss = _simplified.loss(ctx, _simplified.alpha(ctx))
+            return _core.gradient_log(SimplifiedTopology, ctx, pure_loss)
+
+        if not get_config().pallas_enabled():
+            return pure()
+        fast, fast_loss = _pallas().simplified_gradient_log_with_loss(ctx, loss)
+        return _guarded(fast, pure, fast_loss, _simplified_feasible(ctx))
 
 
 CLASSIC = ClassicTopology()

@@ -25,6 +25,9 @@ class KernelConfig:
     interpret: bool = False
     block_batch: int = 64
     block_time: int = 16
+    # Unroll the per-block time loop inside kernels (static VMEM indices;
+    # larger code, less per-step scalar/loop overhead).
+    unroll: bool = True
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
@@ -44,6 +47,8 @@ def _env_default() -> KernelConfig:
         cfg.interpret = True
     cfg.block_batch = int(os.environ.get("CTC_TPU_BLOCK_BATCH", cfg.block_batch))
     cfg.block_time = int(os.environ.get("CTC_TPU_BLOCK_TIME", cfg.block_time))
+    if os.environ.get("CTC_TPU_UNROLL") in ("0", "false", "False"):
+        cfg.unroll = False
     return cfg
 
 
