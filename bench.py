@@ -9,13 +9,13 @@ runs ``n`` serialized iterations inside ONE jitted ``lax.fori_loop`` (each
 iteration's input depends on the previous result) and differences the n=1 and
 n=N wall times: ``ms_per_iter = (t_N - t_1) / (N - 1)``.
 
-Baseline: the reference reports 0.28 ms for the classic gradient at
-B=256, T=255, V=32 on a GTX 970 (README.md:18-21).  The loss is O(T), so the
-equivalent baseline at T=500 is 0.28 * 500/255 = 0.549 ms;
-``vs_baseline = 0.549 / our_ms`` (>1 means faster than the reference's GPU).
-(Note: the reference's own timing never synchronises the GPU — datetime
-around an async ``tf.function`` call, benchmark.py:220-231 — so its numbers
-are dispatch times, i.e. a *hard* baseline.)
+``vs_baseline`` is the same-chip speedup over ``optax.ctc_loss`` — the stock
+JAX implementation of the same classic topology, playing the role the
+reference's README assigns to ``tf.nn.ctc_loss`` (its ~30x headline is
+measured against that baseline on the same GPU, README.md:15-24).  The
+reference's own GPU numbers (0.28 ms classic gradient at T=255 on a GTX 970,
+async dispatch timing without device sync) are reported alongside as
+``ref_gpu_ms_scaled`` for context.
 
 Prints exactly one JSON line.
 """
@@ -45,29 +45,49 @@ def make_inputs(batch, max_t, vocab, seed=0):
     )
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _fwd_grad_loop(labels, logits, label_length, logit_length, n):
-    def body(i, acc):
-        x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
-        loss, grad = jax.value_and_grad(
-            lambda y: jnp.mean(
-                classic_ctc_loss(labels, y, label_length, logit_length, 0)
-            )
-        )(x)
-        return acc + loss + jnp.sum(grad) * 1e-9
+def _optax_classic_loss(labels, logits, label_length, logit_length, blank_index):
+    import optax
 
-    return jax.lax.fori_loop(0, n, body, 0.0)
+    max_t = logits.shape[1]
+    max_l = labels.shape[1]
+    logit_paddings = (
+        jnp.arange(max_t)[None, :] >= logit_length[:, None]
+    ).astype(jnp.float32)
+    label_paddings = (
+        jnp.arange(max_l)[None, :] >= label_length[:, None]
+    ).astype(jnp.float32)
+    return optax.ctc_loss(
+        logits, logit_paddings, labels, label_paddings, blank_id=blank_index
+    )
 
 
-def timed_per_iter(args, n_hi=16, reps=3):
-    float(_fwd_grad_loop(*args, n=1))
-    float(_fwd_grad_loop(*args, n=n_hi))
+def _make_loop(loss_fn):
+    @partial(jax.jit, static_argnames=("n",))
+    def loop(labels, logits, label_length, logit_length, n):
+        def body(i, acc):
+            x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
+            loss, grad = jax.value_and_grad(
+                lambda y: jnp.mean(
+                    loss_fn(labels, y, label_length, logit_length, 0)
+                )
+            )(x)
+            return acc + loss + jnp.sum(grad) * 1e-9
+
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    return loop
+
+
+def timed_per_iter(loss_fn, args, n_hi=16, reps=3):
+    loop = _make_loop(loss_fn)
+    float(loop(*args, n=1))
+    float(loop(*args, n=n_hi))
 
     def best(n):
         vals = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(_fwd_grad_loop(*args, n=n))
+            float(loop(*args, n=n))
             vals.append(time.perf_counter() - t0)
         return min(vals)
 
@@ -123,7 +143,8 @@ def parity_check():
 
 def main():
     args = make_inputs(BATCH, MAX_T, VOCAB)
-    ms = timed_per_iter(args)
+    ms = timed_per_iter(classic_ctc_loss, args)
+    optax_ms = timed_per_iter(_optax_classic_loss, args)
     parity = parity_check()
     print(
         json.dumps(
@@ -131,7 +152,10 @@ def main():
                 "metric": "classic_ctc_loss fwd+grad ms/batch (B=256,T=500,V=32)",
                 "value": round(ms, 4),
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / ms, 4),
+                "vs_baseline": round(optax_ms / ms, 4),
+                "baseline": "optax.ctc_loss (same chip, same shape)",
+                "optax_ms": round(optax_ms, 4),
+                "ref_gpu_ms_scaled": BASELINE_MS,
                 "parity": parity,
                 "device": str(jax.devices()[0]),
             }

@@ -74,6 +74,11 @@ def ctc_loss(
     Reference: ``ctc_loss`` (base_loss.py:38-68).  The log-softmax VJP is left
     to JAX autodiff, exactly as the reference leaves it to TF.
     """
+    if jnp.ndim(logits) != 3:
+        raise ValueError(
+            f"logits must be rank 3 [batch, time, vocab], got shape "
+            f"{jnp.shape(logits)}"
+        )
     logprobas = logit_to_logproba(logits, axis=2)
     return ctc_loss_from_logproba(
         labels, logprobas, label_length, logit_length, blank_index, topology

@@ -388,13 +388,27 @@ def classic_loss_fast(ctx: CtcContext) -> Array:
 
 
 def _classic_bwd_kernel(block_t: int):
-    """Fused block-float backward scan (classic_ctc_loss.py:349-364,
-    565-669): beta on the fly + gradient acts + beta[0] for the loss."""
+    """Fused block-float backward scan (classic_ctc_loss.py:349-364, 565-669).
+
+    Emits *raw* mantissa products for the gradient acts plus their f32
+    log2-exponents (one add per element) — all per-(b, t) normalisation,
+    the cross-lane maxes and the logs happen afterwards in XLA where they
+    vectorise over every (b, t) at once instead of serialising inside the
+    scan (measured: in-kernel reductions cost ~3 ms at T=500).
+
+    Outputs per time step:
+      ph  = a1 * pt * b1                      (repeat-horizontal act mantissa)
+      pd  = (a0*dc + a1*do) * b1[l+1]         (diagonal act mantissa)
+      ab  = (a0 + a1) * b0                    (blank-column act mantissa)
+      ga  = ae + eb   as f32                  (exponent of ph and ab)
+      gd  = ae + eb[l+1] as f32               (exponent of pd)
+    plus beta[0] (mantissa + exponent) for the loss.
+    """
 
     def kernel(
         blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
         a0_ref, a1_ref, ae_ref,
-        ph_ref, pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+        ph_ref, pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
         b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
@@ -408,8 +422,8 @@ def _classic_bwd_kernel(block_t: int):
             do = dc * rep_ref[:]
             a0 = a0_ref[:, k, :]
             a1 = a1_ref[:, k, :]
-            ae = ae_ref[:, k, :]
-            b0 = b0_s[:]
+            ae = ae_ref[:, k, :]  # int32 alpha exponent at t
+            b0 = b0_s[:]  # beta[t+1]
             b1 = b1_s[:]
             eb = e_s[:]
             lpad = b1.shape[1]
@@ -419,27 +433,13 @@ def _classic_bwd_kernel(block_t: int):
             lane = _lane_iota(eb_r.shape)
             eb_r = jnp.where(lane == lpad - 1, -_EBIG, eb_r)
 
-            # ---- gradient acts at time t (classic_ctc_loss.py:609-640) ----
-            ph = a1 * pt * b1  # exponent ga = ae + eb
-            pd = (a0 * dc + a1 * do) * b1_r  # exponent gd = ae + eb_r
-            ab = (a0 + a1) * b0  # exponent ga
-            ga = ae + eb
-            gd = ae + eb_r
-            ga_eff = jnp.where(ph > 0.0, ga, -_EBIG)
-            gd_eff = jnp.where(pd > 0.0, gd, -_EBIG)
-            e_act = jnp.max(
-                jnp.maximum(ga_eff, gd_eff), axis=1, keepdims=True
-            )
-            ph_ref[:, k, :] = ph * _pow2_nonpos(ga - e_act)
-            pd_ref[:, k, :] = pd * _pow2_nonpos(gd - e_act)
-            m_ref[:, k, :] = e_act.astype(jnp.float32) * LN2
-
-            gab_eff = jnp.where(ab > 0.0, ga, -_EBIG)
-            e_ab = jnp.max(gab_eff, axis=1, keepdims=True)
-            s_ab = jnp.sum(ab * _pow2_nonpos(ga - e_ab), axis=1, keepdims=True)
-            bl_ref[:, k, :] = (
-                jnp.log(blank * s_ab) + e_ab.astype(jnp.float32) * LN2
-            )
+            # ---- raw gradient acts at time t (normalised later in XLA) ----
+            ph_ref[:, k, :] = a1 * pt * b1
+            pd_ref[:, k, :] = (a0 * dc + a1 * do) * b1_r
+            ab_ref[:, k, :] = (a0 + a1) * b0
+            # f32 adds: int32 would overflow on -2^30 dead-lane markers
+            ga_ref[:, k, :] = ae.astype(jnp.float32) + eb.astype(jnp.float32)
+            gd_ref[:, k, :] = ae.astype(jnp.float32) + eb_r.astype(jnp.float32)
 
             # ---- beta step -> beta[t] ------------------------------------
             eb_eff = jnp.where(jnp.maximum(b0, b1) > 0.0, eb, -_EBIG)
@@ -466,9 +466,9 @@ def _classic_bwd_kernel(block_t: int):
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
-            # beta[0]: loss = -log(alpha0 . beta0) = -(log b0[l=0] + e*ln2)
+            # beta[0]: loss = -log(alpha[0] . beta[0]) = -(log b0[l=0] + e*ln2)
             fin_ref[:] = b0_s[:]
-            fe_ref[:] = e_s[:]
+            fe_ref[:] = e_s[:].astype(jnp.float32)
 
     return kernel
 
@@ -489,7 +489,7 @@ def _classic_bwd_call(
     def kernel_with_init(
         init_ref, blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
         a0_ref, a1_ref, ae_ref,
-        ph_ref, pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+        ph_ref, pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
         b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
@@ -504,22 +504,20 @@ def _classic_bwd_call(
         inner(
             blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
             a0_ref, a1_ref, ae_ref,
-            ph_ref, pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+            ph_ref, pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
             b0_s, b1_s, e_s,
         )
 
+    big3 = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
     return pl.pallas_call(
         kernel_with_init,
         grid=grid,
         in_specs=[vec, small, big, big, vec, vec, big, big, big],
-        out_specs=(big, big, small, small, vec, vec),
+        out_specs=(big, big, big, big, big, vec, vec),
         out_shape=(
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
+            big3, big3, big3, big3, big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bb, lpad), jnp.float32),
@@ -531,6 +529,29 @@ def _classic_bwd_call(
         ),
         interpret=cfg.interpret,
     )(init_lane, blank, dc, pt, nb, rep, a0, a1, ae)
+
+
+def _act_normalise(acts_and_exps):
+    """Per-(b, t) scalar normaliser over several (mantissa, exponent) act
+    tensors: returns (E [B, T, 1] f32 log2-scale, scaled mantissas).
+
+    Lanes with zero mantissa are excluded from the max; the exp2 rescale is
+    exact for in-range integer exponents and flushes to 0 more than ~126
+    doublings below the maximum — the same relative-error contract as the
+    pure path's max-normalised scatter (ops/core.py select_from_act).
+    """
+    neg = jnp.float32(-jnp.inf)
+    e_max = None
+    for act, g in acts_and_exps:
+        cand = jnp.max(jnp.where(act > 0.0, g, neg), axis=2, keepdims=True)
+        e_max = cand if e_max is None else jnp.maximum(e_max, cand)
+    e_safe = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
+    # clamp the gap at 0: zero-mantissa lanes may carry exponents above the
+    # masked max, and exp2(+big) = inf would turn 0 * inf into NaN
+    scaled = [
+        act * jnp.exp2(jnp.minimum(g - e_safe, 0.0)) for act, g in acts_and_exps
+    ]
+    return e_safe, jnp.where(jnp.isfinite(e_max), 0.0, neg), scaled
 
 
 @jax.jit
@@ -551,20 +572,24 @@ def _classic_grad_impl(ctx: CtcContext):
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
     ).astype(jnp.float32)
-    ph, pd, m, bl, fin, fe = _classic_bwd_call(
+    ph, pd, ab, ga, gd, fin, fe = _classic_bwd_call(
         blank, dc, pt, nb, rep, a0, a1, ae, init_lane, bb=bb, bt=bt
     )
-    fast_loss = -(
-        jnp.log(fin[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
-    )
+    fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
 
-    # token scatter on the MXU; both acts share the normaliser m
+    # normalise acts per (b, t) and scatter into token bins on the MXU
+    e_act, e_dead, (ph_n, pd_n) = _act_normalise([(ph, ga), (pd, gd)])
     sums = jnp.einsum(
-        "btl,blv->btv", ph, oh_prec, precision=jax.lax.Precision.HIGHEST
+        "btl,blv->btv", ph_n, oh_prec, precision=jax.lax.Precision.HIGHEST
     ) + jnp.einsum(
-        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
+        "btl,blv->btv", pd_n, oh_label, precision=jax.lax.Precision.HIGHEST
     )
-    non_blank = m[:, :, 0:1] + jnp.log(sums)
+    non_blank = e_act * LN2 + e_dead + jnp.log(sums)
+
+    e_ab, e_ab_dead, (ab_n,) = _act_normalise([(ab, ga)])
+    s_ab = jnp.sum(ab_n, axis=2, keepdims=True)
+    bl = jnp.log(blank * s_ab) + e_ab * LN2 + e_ab_dead
+
     token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
     combined = jnp.where(
         token_is_blank[None, None, :], bl[:, :, 0:1], non_blank
@@ -738,7 +763,7 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
 
     def kernel(
         init_ref, blank_ref, dg_ref, a_ref, ae_ref,
-        pd_ref, m_ref, bl_ref, fin_ref, fe_ref,
+        pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
         b_s, e_s,
     ):
         j = pl.program_id(1)
@@ -763,22 +788,11 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
             lane = _lane_iota(eb_r.shape)
             eb_r = jnp.where(lane == lpad_ - 1, -_EBIG, eb_r)
 
-            # acts (simplified_ctc_loss.py:456-534)
-            pd = (a * dg) * b_r  # exponent gd = ea + eb_r
-            ab = a * b  # exponent ga = ea + eb
-            ga = ea + eb
-            gd = ea + eb_r
-            gd_eff = jnp.where(pd > 0.0, gd, -_EBIG)
-            e_act = jnp.max(gd_eff, axis=1, keepdims=True)
-            pd_ref[:, k, :] = pd * _pow2_nonpos(gd - e_act)
-            m_ref[:, k, :] = e_act.astype(jnp.float32) * LN2
-
-            ga_eff = jnp.where(ab > 0.0, ga, -_EBIG)
-            e_ab = jnp.max(ga_eff, axis=1, keepdims=True)
-            s_ab = jnp.sum(ab * _pow2_nonpos(ga - e_ab), axis=1, keepdims=True)
-            bl_ref[:, k, :] = (
-                jnp.log(blank * s_ab) + e_ab.astype(jnp.float32) * LN2
-            )
+            # raw acts (simplified_ctc_loss.py:456-534)
+            pd_ref[:, k, :] = (a * dg) * b_r
+            ab_ref[:, k, :] = a * b
+            ga_ref[:, k, :] = ea.astype(jnp.float32) + eb.astype(jnp.float32)
+            gd_ref[:, k, :] = ea.astype(jnp.float32) + eb_r.astype(jnp.float32)
 
             # beta step (simplified_ctc_loss.py:291-343)
             eb_eff = jnp.where(b > 0.0, eb, -_EBIG)
@@ -801,19 +815,18 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
             fin_ref[:] = b_s[:]
-            fe_ref[:] = e_s[:]
+            fe_ref[:] = e_s[:].astype(jnp.float32)
 
+    big3 = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[vec, small, big, big, big],
-        out_specs=(big, small, small, vec, vec),
+        out_specs=(big, big, big, big, vec, vec),
         out_shape=(
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, 1), jnp.float32),
+            big3, big3, big3, big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bb, lpad), jnp.float32),
@@ -831,7 +844,7 @@ def _simplified_grad_impl(ctx: CtcContext):
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
     lpad = _round_up(lp1, 128)
-    bb, bt = _fit_blocks(lpad, num_big_buffers=6, num_t=num_t, batch=batch)
+    bb, bt = _fit_blocks(lpad, num_big_buffers=8, num_t=num_t, batch=batch)
     bpad = _round_up(batch, bb)
     tpad = _round_up(num_t, bt)
 
@@ -841,17 +854,21 @@ def _simplified_grad_impl(ctx: CtcContext):
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
     ).astype(jnp.float32)
-    pd, m, bl, fin, fe = _simplified_bwd_call(
+    pd, ab, ga, gd, fin, fe = _simplified_bwd_call(
         blank, dg, a, ae, init_lane, bb=bb, bt=bt
     )
-    fast_loss = -(
-        jnp.log(fin[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
-    )
+    fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
 
+    e_act, e_dead, (pd_n,) = _act_normalise([(pd, gd)])
     sums = jnp.einsum(
-        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
+        "btl,blv->btv", pd_n, oh_label, precision=jax.lax.Precision.HIGHEST
     )
-    non_blank = m[:, :, 0:1] + jnp.log(sums)
+    non_blank = e_act * LN2 + e_dead + jnp.log(sums)
+
+    e_ab, e_ab_dead, (ab_n,) = _act_normalise([(ab, ga)])
+    s_ab = jnp.sum(ab_n, axis=2, keepdims=True)
+    bl = jnp.log(blank * s_ab) + e_ab * LN2 + e_ab_dead
+
     token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
     combined = jnp.where(
         token_is_blank[None, None, :], bl[:, :, 0:1], non_blank
