@@ -79,15 +79,23 @@ def build_chain(topology) -> CtcVjpChain:
     hessian_fn.defvjp(hessian_fwd, hessian_bwd)
 
     # ---- level 2: gradient (bwd contracts with Hessian; base_loss.py:157-175)
+    #
+    # ``pack`` optionally carries the alpha tensors computed by the loss
+    # forward pass (stop-gradient'ed kernel residuals) so the gradient skips
+    # its own forward scan.  The declared VJP w.r.t. ``logprobas`` is the
+    # COMPLETE analytic Hessian (including alpha's dependence), so the pack
+    # slot correctly receives a zero cotangent.
     @jax.custom_vjp
-    def grad_fn(logprobas, labels, label_length, logit_length, blank):
+    def grad_fn_packed(logprobas, labels, label_length, logit_length, blank, pack):
         # loss=None: the fused backward kernel recovers the loss from beta[0]
         # (alpha/beta invariant at t=0), avoiding a redundant forward scan.
         ctx = core.make_context(labels, logprobas, label_length, logit_length, blank)
-        return core.gradient(topology, ctx, None)
+        return core.gradient(topology, ctx, None, pack=pack)
 
-    def grad_fwd(logprobas, labels, label_length, logit_length, blank):
-        out = grad_fn(logprobas, labels, label_length, logit_length, blank)
+    def grad_fwd(logprobas, labels, label_length, logit_length, blank, pack):
+        out = grad_fn_packed(
+            logprobas, labels, label_length, logit_length, blank, pack
+        )
         return out, (logprobas, labels, label_length, logit_length, blank)
 
     def grad_bwd(res, d_gradient):
@@ -105,9 +113,15 @@ def build_chain(topology) -> CtcVjpChain:
             _float0(label_length),
             _float0(logit_length),
             _float0(blank),
+            None,
         )
 
-    grad_fn.defvjp(grad_fwd, grad_bwd)
+    grad_fn_packed.defvjp(grad_fwd, grad_bwd)
+
+    def grad_fn(logprobas, labels, label_length, logit_length, blank):
+        return grad_fn_packed(
+            logprobas, labels, label_length, logit_length, blank, None
+        )
 
     # ---- level 1: loss (bwd scales the analytic grad; base_loss.py:140-155) -
     @jax.custom_vjp
@@ -116,12 +130,28 @@ def build_chain(topology) -> CtcVjpChain:
         return loss
 
     def loss_fwd(logprobas, labels, label_length, logit_length, blank):
-        out = loss_fn(logprobas, labels, label_length, logit_length, blank)
-        return out, (logprobas, labels, label_length, logit_length, blank)
+        # Under differentiation, compute the loss via the pre-mode kernel and
+        # save the alpha tensors (stop-gradient'ed) as residuals: the
+        # backward pass reuses them instead of rerunning the forward scan.
+        # The undifferentiated primal (loss_fn's body) keeps the lean
+        # final-only kernel.
+        ad_loss = getattr(topology, "loss_and_pack_fast", None)
+        if ad_loss is not None:
+            ctx = core.make_context(
+                labels, logprobas, label_length, logit_length, blank
+            )
+            out, pack = ad_loss(ctx)
+            pack = jax.lax.stop_gradient(pack)
+        else:
+            out = loss_fn(logprobas, labels, label_length, logit_length, blank)
+            pack = None
+        return out, (logprobas, labels, label_length, logit_length, blank, pack)
 
     def loss_bwd(res, d_loss):
-        logprobas, labels, label_length, logit_length, blank = res
-        grad = grad_fn(logprobas, labels, label_length, logit_length, blank)
+        logprobas, labels, label_length, logit_length, blank, pack = res
+        grad = grad_fn_packed(
+            logprobas, labels, label_length, logit_length, blank, pack
+        )
         return (
             d_loss[:, None, None] * grad,
             _float0(labels),

@@ -237,17 +237,19 @@ def gradient_log(topology, ctx: CtcContext, loss: Array) -> Array:
     return out
 
 
-def gradient(topology, ctx: CtcContext, loss: Array = None) -> Array:
+def gradient(topology, ctx: CtcContext, loss: Array = None, pack=None) -> Array:
     """Analytic loss gradient w.r.t. log-probabilities (base_loss.py:262-268).
 
     Dispatches to the topology's fused Pallas backward path when available
     (ops/pallas_lattice.py): identical semantics, but beta and the log-space
     combine intermediates never round-trip through HBM.  ``loss`` may be
     None on that path — the kernel recovers it from beta[0] for free.
+    ``pack`` optionally carries the alpha tensors saved by the loss forward
+    pass so the backward pass skips its own forward scan.
     """
     fast = getattr(topology, "gradient_log_fast", None)
     if fast is not None:
-        return -jnp.exp(fast(ctx, loss))
+        return -jnp.exp(fast(ctx, loss, pack))
     if loss is None:
         loss = topology.loss(ctx, topology.alpha(ctx))
     return -jnp.exp(gradient_log(topology, ctx, loss))

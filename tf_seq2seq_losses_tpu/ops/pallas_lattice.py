@@ -255,7 +255,7 @@ def _classic_fwd_kernel(mode: str, block_t: int):
 
     def kernel(blank_ref, dc_ref, pt_ref, nb_ref, rep_ref, *rest):
         if mode == "pre":
-            o0_ref, o1_ref, oe_ref, a0_s, a1_s, e_s = rest
+            o0_ref, o1_ref, oe_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         else:
             f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         j = pl.program_id(1)
@@ -311,6 +311,13 @@ def _classic_fwd_kernel(mode: str, block_t: int):
             f0_ref[:] = a0_s[:]
             f1_ref[:] = a1_s[:]
             fe_ref[:] = e_s[:]
+        else:
+
+            @pl.when(j == pl.num_programs(1) - 1)
+            def _():
+                f0_ref[:] = a0_s[:]
+                f1_ref[:] = a1_s[:]
+                fe_ref[:] = e_s[:]
 
     return kernel
 
@@ -329,8 +336,11 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
-        out_specs = (big, big, big)
+        out_specs = (big, big, big, vec, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -385,6 +395,40 @@ def classic_loss_fast(ctx: CtcContext) -> Array:
     if num_t == 0 or batch == 0:
         return classic_mod.loss(ctx, classic_mod.alpha(ctx))
     return _classic_loss_fast_impl(ctx)
+
+
+@jax.jit
+def _classic_loss_and_pack_impl(ctx: CtcContext):
+    """Loss via the pre-mode kernel, returning the alpha tensors as well.
+
+    Used by the AD forward pass (autodiff.py loss_fwd): the alpha tensors
+    become custom-VJP residuals so the gradient backward pass skips its own
+    forward scan.  Standalone (undifferentiated) calls keep the lean
+    final-only kernel (``classic_loss_fast``).
+    """
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    lpad = _round_up(lp1, 128)
+    bb, bt = _fit_blocks(lpad, num_big_buffers=10, num_t=num_t, batch=batch)
+    bpad = _round_up(batch, bb)
+    tpad = _round_up(num_t, bt)
+    blank, dc, pt, nb, rep, _, _ = _classic_padded_inputs(ctx, bpad, tpad, lpad)
+    a0, a1, ae, f0, f1, fe = _classic_fwd_call(
+        blank, dc, pt, nb, rep, mode="pre", bb=bb, bt=bt
+    )
+    total = (f0 + f1)[:batch, :lp1]
+    e = fe[:batch, :lp1]
+    picked = jnp.take_along_axis(total, ctx.label_length[:, None], axis=1)[:, 0]
+    picked_e = jnp.take_along_axis(e, ctx.label_length[:, None], axis=1)[:, 0]
+    loss = -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+    return loss, (a0, a1, ae)
+
+
+def classic_loss_and_pack(ctx: CtcContext):
+    batch, num_t, _ = ctx.logproba.shape
+    if num_t == 0 or batch == 0:
+        return classic_mod.loss(ctx, classic_mod.alpha(ctx)), None
+    return _classic_loss_and_pack_impl(ctx)
 
 
 def _classic_bwd_kernel(block_t: int):
@@ -555,8 +599,13 @@ def _act_normalise(acts_and_exps):
 
 
 @jax.jit
-def _classic_grad_impl(ctx: CtcContext):
-    """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels."""
+def _classic_grad_impl(ctx: CtcContext, pack=None):
+    """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels.
+
+    ``pack = (a0, a1, ae)``: padded alpha tensors from the loss forward pass
+    (same deterministic block geometry); when given, the forward scan is
+    skipped entirely.
+    """
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
     lpad = _round_up(lp1, 128)
@@ -567,7 +616,12 @@ def _classic_grad_impl(ctx: CtcContext):
     blank, dc, pt, nb, rep, oh_label, oh_prec = _classic_padded_inputs(
         ctx, bpad, tpad, lpad
     )
-    a0, a1, ae = _classic_fwd_call(blank, dc, pt, nb, rep, mode="pre", bb=bb, bt=bt)
+    if pack is None:
+        a0, a1, ae, _, _, _ = _classic_fwd_call(
+            blank, dc, pt, nb, rep, mode="pre", bb=bb, bt=bt
+        )
+    else:
+        a0, a1, ae = pack
     init_lane = (
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
@@ -597,7 +651,7 @@ def _classic_grad_impl(ctx: CtcContext):
     return combined, fast_loss
 
 
-def classic_gradient_log_with_loss(ctx: CtcContext, loss=None):
+def classic_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
     """Fused-kernel ``core.gradient_log`` for the classic topology.
 
     Returns ``(log(-grad), fast_loss)``; semantics identical to the pure
@@ -615,7 +669,7 @@ def classic_gradient_log_with_loss(ctx: CtcContext, loss=None):
             loss = classic_mod.loss(ctx, classic_mod.alpha(ctx))
         return empty, loss
 
-    combined, fast_loss = _classic_grad_impl(ctx)
+    combined, fast_loss = _classic_grad_impl(ctx, pack)
     if loss is None:
         loss = fast_loss
     out = loss[:, None, None] + combined
@@ -638,7 +692,7 @@ def _simplified_fwd_kernel(mode: str, block_t: int):
 
     def kernel(blank_ref, dg_ref, *rest):
         if mode == "pre":
-            o_ref, oe_ref, a_s, e_s = rest
+            o_ref, oe_ref, f_ref, fe_ref, a_s, e_s = rest
         else:
             f_ref, fe_ref, a_s, e_s = rest
         j = pl.program_id(1)
@@ -680,6 +734,12 @@ def _simplified_fwd_kernel(mode: str, block_t: int):
         if mode == "final":
             f_ref[:] = a_s[:]
             fe_ref[:] = e_s[:]
+        else:
+
+            @pl.when(j == pl.num_programs(1) - 1)
+            def _():
+                f_ref[:] = a_s[:]
+                fe_ref[:] = e_s[:]
 
     return kernel
 
@@ -697,8 +757,10 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
         out_shape = (
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
-        out_specs = (big, big)
+        out_specs = (big, big, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -750,6 +812,37 @@ def simplified_loss_fast(ctx: CtcContext) -> Array:
     if num_t == 0 or batch == 0:
         return s.loss(ctx, s.alpha(ctx))
     return _simplified_loss_fast_impl(ctx)
+
+
+@jax.jit
+def _simplified_loss_and_pack_impl(ctx: CtcContext):
+    """Loss via the pre-mode kernel plus the alpha tensors as residuals
+    (see classic_loss_and_pack)."""
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    lpad = _round_up(lp1, 128)
+    bb, bt = _fit_blocks(lpad, num_big_buffers=8, num_t=num_t, batch=batch)
+    bpad = _round_up(batch, bb)
+    tpad = _round_up(num_t, bt)
+    blank, dg, _ = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
+    a, ae, fin, fe = _simplified_fwd_call(blank, dg, mode="pre", bb=bb, bt=bt)
+    picked = jnp.take_along_axis(
+        fin[:batch, :lp1], ctx.label_length[:, None], axis=1
+    )[:, 0]
+    picked_e = jnp.take_along_axis(
+        fe[:batch, :lp1], ctx.label_length[:, None], axis=1
+    )[:, 0]
+    loss = -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+    return loss, (a, ae)
+
+
+def simplified_loss_and_pack(ctx: CtcContext):
+    from tf_seq2seq_losses_tpu.ops import simplified as s
+
+    batch, num_t, _ = ctx.logproba.shape
+    if num_t == 0 or batch == 0:
+        return s.loss(ctx, s.alpha(ctx)), None
+    return _simplified_loss_and_pack_impl(ctx)
 
 
 def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
@@ -840,7 +933,7 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
 
 
 @jax.jit
-def _simplified_grad_impl(ctx: CtcContext):
+def _simplified_grad_impl(ctx: CtcContext, pack=None):
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
     lpad = _round_up(lp1, 128)
@@ -849,7 +942,10 @@ def _simplified_grad_impl(ctx: CtcContext):
     tpad = _round_up(num_t, bt)
 
     blank, dg, oh_label = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
-    a, ae = _simplified_fwd_call(blank, dg, mode="pre", bb=bb, bt=bt)
+    if pack is None:
+        a, ae, _, _ = _simplified_fwd_call(blank, dg, mode="pre", bb=bb, bt=bt)
+    else:
+        a, ae = pack
     init_lane = (
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
@@ -876,7 +972,7 @@ def _simplified_grad_impl(ctx: CtcContext):
     return combined, fast_loss
 
 
-def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None):
+def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
     """Fused-kernel ``core.gradient_log`` for the simplified topology."""
     from tf_seq2seq_losses_tpu.ops import simplified as s
     from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
@@ -888,7 +984,7 @@ def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None):
             loss = s.loss(ctx, s.alpha(ctx))
         return empty, loss
 
-    combined, fast_loss = _simplified_grad_impl(ctx)
+    combined, fast_loss = _simplified_grad_impl(ctx, pack)
     if loss is None:
         loss = fast_loss
     out = loss[:, None, None] + combined

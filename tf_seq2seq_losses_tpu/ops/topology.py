@@ -105,12 +105,28 @@ class ClassicTopology:
         )
 
     @staticmethod
-    def gradient_log_fast(ctx: CtcContext, loss=None) -> Array:
+    def loss_and_pack_fast(ctx: CtcContext):
+        """Loss for the AD forward pass plus the alpha tensors as residuals:
+        the gradient backward pass reuses them instead of rerunning the
+        forward scan (autodiff.py loss_fwd/loss_bwd)."""
+        if not get_config().pallas_enabled():
+            return _classic.loss(ctx, _classic.alpha(ctx)), None
+        fast, pack = _pallas().classic_loss_and_pack(ctx)
+        loss = _guarded(
+            fast,
+            lambda: _classic.loss(ctx, _classic.alpha(ctx)),
+            fast,
+            _classic_feasible(ctx),
+        )
+        return loss, pack
+
+    @staticmethod
+    def gradient_log_fast(ctx: CtcContext, loss=None, pack=None) -> Array:
         """log(-grad) via the fused backward kernel (beta never hits HBM).
 
         ``loss`` may be None: the fused kernel recovers it from beta[0]
-        (no extra forward pass); the pure fallback recomputes it from alpha
-        (XLA CSE merges the duplicate alpha scan under jit).
+        (no extra forward pass).  ``pack`` optionally carries precomputed
+        alpha tensors (see loss_and_pack_fast).
         """
 
         def pure():
@@ -119,7 +135,7 @@ class ClassicTopology:
 
         if not get_config().pallas_enabled():
             return pure()
-        fast, fast_loss = _pallas().classic_gradient_log_with_loss(ctx, loss)
+        fast, fast_loss = _pallas().classic_gradient_log_with_loss(ctx, loss, pack)
         return _guarded(fast, pure, fast_loss, _classic_feasible(ctx))
 
 
@@ -159,14 +175,28 @@ class SimplifiedTopology:
         )
 
     @staticmethod
-    def gradient_log_fast(ctx: CtcContext, loss=None) -> Array:
+    def loss_and_pack_fast(ctx: CtcContext):
+        """See ClassicTopology.loss_and_pack_fast."""
+        if not get_config().pallas_enabled():
+            return _simplified.loss(ctx, _simplified.alpha(ctx)), None
+        fast, pack = _pallas().simplified_loss_and_pack(ctx)
+        loss = _guarded(
+            fast,
+            lambda: _simplified.loss(ctx, _simplified.alpha(ctx)),
+            fast,
+            _simplified_feasible(ctx),
+        )
+        return loss, pack
+
+    @staticmethod
+    def gradient_log_fast(ctx: CtcContext, loss=None, pack=None) -> Array:
         def pure():
             pure_loss = _simplified.loss(ctx, _simplified.alpha(ctx))
             return _core.gradient_log(SimplifiedTopology, ctx, pure_loss)
 
         if not get_config().pallas_enabled():
             return pure()
-        fast, fast_loss = _pallas().simplified_gradient_log_with_loss(ctx, loss)
+        fast, fast_loss = _pallas().simplified_gradient_log_with_loss(ctx, loss, pack)
         return _guarded(fast, pure, fast_loss, _simplified_feasible(ctx))
 
 
