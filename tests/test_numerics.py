@@ -124,3 +124,36 @@ def test_finite_difference_self_check():
     jac = finite_difference_batch_jacobian(func, x, epsilon=1e-3)
     assert jac.shape == (2, 3, 4)
     np.testing.assert_allclose(np.asarray(jac), np.ones((2, 3, 4)), atol=1e-2)
+
+
+def test_checked_ctc_loss_passes_and_catches_nan():
+    import jax.numpy as jnp
+
+    from tf_seq2seq_losses_tpu.utils.debug import checked_ctc_loss
+
+    labels = jnp.asarray([[1, 2]], jnp.int32)
+    logits = jnp.zeros((1, 4, 3), jnp.float32)
+    err, loss = checked_ctc_loss(
+        labels, logits, jnp.asarray([2]), jnp.asarray([4])
+    )
+    err.throw()  # no error
+    assert np.isfinite(np.asarray(loss)).all()
+
+    bad = logits.at[0, 0, 0].set(jnp.nan)
+    err, _ = checked_ctc_loss(labels, bad, jnp.asarray([2]), jnp.asarray([4]))
+    try:
+        err.throw()
+        raise AssertionError("expected checkify error")
+    except Exception as e:  # JaxRuntimeError
+        assert "NaN in logits" in str(e)
+
+
+def test_profiling_annotate_and_block_ms():
+    import jax.numpy as jnp
+
+    from tf_seq2seq_losses_tpu.utils.profiling import annotate, block_ms
+
+    with annotate("test_region"):
+        x = jnp.ones((4, 4)) * 2.0
+    ms = block_ms(lambda: jnp.sum(x), iters=2)
+    assert ms >= 0.0
