@@ -452,7 +452,7 @@ def _classic_bwd_kernel(block_t: int):
     def kernel(
         blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
         a0_ref, a1_ref, ae_ref,
-        ph_ref, pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
+        ph_ref, pd_ref, ga_ref, gd_ref, fin_ref, fe_ref,
         b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
@@ -478,9 +478,10 @@ def _classic_bwd_kernel(block_t: int):
             eb_r = jnp.where(lane == lpad - 1, -_EBIG, eb_r)
 
             # ---- raw gradient acts at time t (normalised later in XLA) ----
+            # The blank column is recovered in XLA from the posterior
+            # identity sum_v(-grad[b,t,v]) = 1, so no blank act is emitted.
             ph_ref[:, k, :] = a1 * pt * b1
             pd_ref[:, k, :] = (a0 * dc + a1 * do) * b1_r
-            ab_ref[:, k, :] = (a0 + a1) * b0
             # f32 adds: int32 would overflow on -2^30 dead-lane markers
             ga_ref[:, k, :] = ae.astype(jnp.float32) + eb.astype(jnp.float32)
             gd_ref[:, k, :] = ae.astype(jnp.float32) + eb_r.astype(jnp.float32)
@@ -533,7 +534,7 @@ def _classic_bwd_call(
     def kernel_with_init(
         init_ref, blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
         a0_ref, a1_ref, ae_ref,
-        ph_ref, pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
+        ph_ref, pd_ref, ga_ref, gd_ref, fin_ref, fe_ref,
         b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
@@ -548,7 +549,7 @@ def _classic_bwd_call(
         inner(
             blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
             a0_ref, a1_ref, ae_ref,
-            ph_ref, pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
+            ph_ref, pd_ref, ga_ref, gd_ref, fin_ref, fe_ref,
             b0_s, b1_s, e_s,
         )
 
@@ -557,9 +558,9 @@ def _classic_bwd_call(
         kernel_with_init,
         grid=grid,
         in_specs=[vec, small, big, big, vec, vec, big, big, big],
-        out_specs=(big, big, big, big, big, vec, vec),
+        out_specs=(big, big, big, big, vec, vec),
         out_shape=(
-            big3, big3, big3, big3, big3,
+            big3, big3, big3, big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
         ),
@@ -598,6 +599,31 @@ def _act_normalise(acts_and_exps):
     return e_safe, jnp.where(jnp.isfinite(e_max), 0.0, neg), scaled
 
 
+def _assemble_with_blank_identity(
+    ctx: CtcContext, non_blank, fast_loss, batch, num_t, num_tokens
+):
+    """(combined, fast_loss) with the blank column from the posterior
+    identity ``sum_v (-grad[b, t, v]) = 1`` (every valid frame emits exactly
+    one token, so the per-frame emission posteriors sum to one).
+
+    ``-grad[v] = exp(loss + combined[v])``; hence
+    ``combined[blank] = log(1 - sum_{v != blank} exp(loss + non_blank[v]))
+    - loss``.  Errors are absolute ~1e-7 (one subtraction from 1), well
+    inside the library's 1e-5 gradient tolerance, and a clamp at 0 keeps the
+    column exactly ``-inf`` (zero gradient) under fp rounding.
+    """
+    non_blank = non_blank[:batch, :num_t]
+    loss_col = jnp.where(jnp.isfinite(fast_loss), fast_loss, 0.0)[:, None, None]
+    token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
+    neg_grad = jnp.where(
+        token_is_blank[None, None, :], 0.0, jnp.exp(loss_col + non_blank)
+    )
+    s = jnp.sum(neg_grad, axis=2, keepdims=True)
+    bl = jnp.log(jnp.maximum(1.0 - s, 0.0)) - loss_col
+    combined = jnp.where(token_is_blank[None, None, :], bl, non_blank)
+    return combined, fast_loss
+
+
 @jax.jit
 def _classic_grad_impl(ctx: CtcContext, pack=None):
     """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels.
@@ -626,7 +652,7 @@ def _classic_grad_impl(ctx: CtcContext, pack=None):
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
     ).astype(jnp.float32)
-    ph, pd, ab, ga, gd, fin, fe = _classic_bwd_call(
+    ph, pd, ga, gd, fin, fe = _classic_bwd_call(
         blank, dc, pt, nb, rep, a0, a1, ae, init_lane, bb=bb, bt=bt
     )
     fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
@@ -639,16 +665,9 @@ def _classic_grad_impl(ctx: CtcContext, pack=None):
         "btl,blv->btv", pd_n, oh_label, precision=jax.lax.Precision.HIGHEST
     )
     non_blank = e_act * LN2 + e_dead + jnp.log(sums)
-
-    e_ab, e_ab_dead, (ab_n,) = _act_normalise([(ab, ga)])
-    s_ab = jnp.sum(ab_n, axis=2, keepdims=True)
-    bl = jnp.log(blank * s_ab) + e_ab * LN2 + e_ab_dead
-
-    token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
-    combined = jnp.where(
-        token_is_blank[None, None, :], bl[:, :, 0:1], non_blank
-    )[:batch, :num_t]
-    return combined, fast_loss
+    return _assemble_with_blank_identity(
+        ctx, non_blank, fast_loss, batch, num_t, num_tokens
+    )
 
 
 def classic_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
@@ -856,7 +875,7 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
 
     def kernel(
         init_ref, blank_ref, dg_ref, a_ref, ae_ref,
-        pd_ref, ab_ref, ga_ref, gd_ref, fin_ref, fe_ref,
+        pd_ref, gd_ref, fin_ref, fe_ref,
         b_s, e_s,
     ):
         j = pl.program_id(1)
@@ -881,10 +900,9 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
             lane = _lane_iota(eb_r.shape)
             eb_r = jnp.where(lane == lpad_ - 1, -_EBIG, eb_r)
 
-            # raw acts (simplified_ctc_loss.py:456-534)
+            # raw acts (simplified_ctc_loss.py:456-534); blank column is
+            # recovered in XLA from the posterior identity
             pd_ref[:, k, :] = (a * dg) * b_r
-            ab_ref[:, k, :] = a * b
-            ga_ref[:, k, :] = ea.astype(jnp.float32) + eb.astype(jnp.float32)
             gd_ref[:, k, :] = ea.astype(jnp.float32) + eb_r.astype(jnp.float32)
 
             # beta step (simplified_ctc_loss.py:291-343)
@@ -915,9 +933,9 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
         kernel,
         grid=grid,
         in_specs=[vec, small, big, big, big],
-        out_specs=(big, big, big, big, vec, vec),
+        out_specs=(big, big, vec, vec),
         out_shape=(
-            big3, big3, big3, big3,
+            big3, big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
         ),
@@ -950,7 +968,7 @@ def _simplified_grad_impl(ctx: CtcContext, pack=None):
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
     ).astype(jnp.float32)
-    pd, ab, ga, gd, fin, fe = _simplified_bwd_call(
+    pd, gd, fin, fe = _simplified_bwd_call(
         blank, dg, a, ae, init_lane, bb=bb, bt=bt
     )
     fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
@@ -960,16 +978,9 @@ def _simplified_grad_impl(ctx: CtcContext, pack=None):
         "btl,blv->btv", pd_n, oh_label, precision=jax.lax.Precision.HIGHEST
     )
     non_blank = e_act * LN2 + e_dead + jnp.log(sums)
-
-    e_ab, e_ab_dead, (ab_n,) = _act_normalise([(ab, ga)])
-    s_ab = jnp.sum(ab_n, axis=2, keepdims=True)
-    bl = jnp.log(blank * s_ab) + e_ab * LN2 + e_ab_dead
-
-    token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
-    combined = jnp.where(
-        token_is_blank[None, None, :], bl[:, :, 0:1], non_blank
-    )[:batch, :num_t]
-    return combined, fast_loss
+    return _assemble_with_blank_identity(
+        ctx, non_blank, fast_loss, batch, num_t, num_tokens
+    )
 
 
 def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
