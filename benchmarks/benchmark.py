@@ -96,12 +96,49 @@ def measure(loss_fn, args, grad: bool, n_hi=16, reps=5):
     return float(np.mean(samples)), float(np.std(samples))
 
 
+def measure_hessian(batch=2, max_t=5, vocab=3, n_hi=8, reps=5):
+    """Analytic Hessian timing at the BASELINE toy config (O(T^2L^2) memory
+    restricts it to small shapes, exactly as in the reference)."""
+    from tf_seq2seq_losses_tpu import ctc_loss_hessian
+    from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
+
+    labels, logits, label_length, logit_length = make_inputs(batch, max_t, vocab)
+    lp = logit_to_logproba(logits, 2)
+
+    def body(i, acc):
+        x = lp + acc * 0.0 + i.astype(jnp.float32) * 1e-6
+        h = ctc_loss_hessian(labels, x, label_length, logit_length, 0)
+        return acc + jnp.sum(jnp.where(jnp.isfinite(h), h, 0.0)) * 1e-9
+
+    @jax.jit
+    def run_1():
+        return jax.lax.fori_loop(0, 1, body, 0.0)
+
+    @jax.jit
+    def run_n():
+        return jax.lax.fori_loop(0, n_hi, body, 0.0)
+
+    for _ in range(3):
+        float(run_1())
+        float(run_n())
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_1())
+        t1 = time.perf_counter()
+        float(run_n())
+        t2 = time.perf_counter()
+        samples.append(((t2 - t1) - (t1 - t0)) / (n_hi - 1) * 1e3)
+    return float(np.mean(samples)), float(np.std(samples))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--time", type=int, default=255)
     parser.add_argument("--vocab", type=int, default=32)
     parser.add_argument("--skip-optax", action="store_true")
+    parser.add_argument("--hessian", action="store_true")
     args_ns = parser.parse_args()
 
     args = make_inputs(args_ns.batch, args_ns.time, args_ns.vocab)
@@ -130,6 +167,12 @@ def main():
         fx = rows["optax.ctc_loss"][0] / max(rows["classic_ctc_loss"][0], 1e-9)
         gx = rows["optax.ctc_loss"][1] / max(rows["classic_ctc_loss"][1], 1e-9)
         print(f"speedup vs optax.ctc_loss: forward {fx:.1f}x, gradient {gx:.1f}x")
+    if args_ns.hessian:
+        h_mean, h_std = measure_hessian()
+        print(
+            f"{'classic analytic Hessian (B=2,T=5,V=3)':36s}"
+            f" {h_mean:9.3f}±{h_std:<6.3f} ms"
+        )
 
 
 if __name__ == "__main__":

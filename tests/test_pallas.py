@@ -173,3 +173,50 @@ def test_guard_fallback_under_jit():
             0,
         )
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "batch,max_t,vocab,max_l,seed",
+    [
+        (5, 9, 5, 9, 0),      # batch not a block multiple
+        (2, 8, 4, 8, 1),      # T exactly one block
+        (3, 17, 6, 16, 2),    # T crosses block boundary
+        (2, 11, 5, 127, 3),   # Lp1 = 128 exactly one lane tile
+        (2, 11, 5, 128, 4),   # Lp1 = 129 crosses the lane tile
+        (1, 31, 3, 7, 5),     # single sample
+    ],
+)
+def test_kernel_geometry_fuzz(batch, max_t, vocab, max_l, seed):
+    """Pallas vs pure across padding edge cases (batch/time/lane boundaries).
+
+    Labels longer than the logits are fine: such samples are infeasible and
+    both paths must return +inf loss and zero gradient.
+    """
+    rand = np.random.RandomState(seed)
+    labels = jnp.asarray(rand.randint(1, vocab, (batch, max_l)).astype(np.int32))
+    logits = jnp.asarray(rand.randn(batch, max_t, vocab).astype(np.float32))
+    label_length = jnp.asarray(
+        rand.randint(1, max_l + 1, (batch,)).astype(np.int32)
+    )
+    logit_length = jnp.asarray(
+        rand.randint(1, max_t + 1, (batch,)).astype(np.int32)
+    )
+    from tf_seq2seq_losses_tpu import classic_ctc_loss, simplified_ctc_loss
+
+    for loss_fn in (classic_ctc_loss, simplified_ctc_loss):
+
+        def scalar(x):
+            out = loss_fn(labels, x, label_length, logit_length, 0)
+            return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+        l_fast = loss_fn(labels, logits, label_length, logit_length, 0)
+        g_fast = jax.grad(scalar)(logits)
+        with config_override(use_pallas=False):
+            l_pure = loss_fn(labels, logits, label_length, logit_length, 0)
+            g_pure = jax.grad(scalar)(logits)
+        np.testing.assert_allclose(
+            np.asarray(l_fast), np.asarray(l_pure), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_fast), np.asarray(g_pure), atol=2e-5
+        )
