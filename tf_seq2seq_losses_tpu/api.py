@@ -79,6 +79,9 @@ def ctc_loss(
             f"logits must be rank 3 [batch, time, vocab], got shape "
             f"{jnp.shape(logits)}"
         )
+    # Accept reduced-precision logits (bf16 encoders): the loss computes in
+    # f32; autodiff casts the gradient back to the input dtype.
+    logits = jnp.asarray(logits).astype(jnp.float32)
     logprobas = logit_to_logproba(logits, axis=2)
     return ctc_loss_from_logproba(
         labels, logprobas, label_length, logit_length, blank_index, topology
