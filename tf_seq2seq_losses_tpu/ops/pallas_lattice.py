@@ -480,11 +480,18 @@ def _classic_bwd_kernel(block_t: int):
             # ---- raw gradient acts at time t (normalised later in XLA) ----
             # The blank column is recovered in XLA from the posterior
             # identity sum_v(-grad[b,t,v]) = 1, so no blank act is emitted.
-            ph_ref[:, k, :] = a1 * pt * b1
-            pd_ref[:, k, :] = (a0 * dc + a1 * do) * b1_r
-            # f32 adds: int32 would overflow on -2^30 dead-lane markers
-            ga_ref[:, k, :] = ae.astype(jnp.float32) + eb.astype(jnp.float32)
-            gd_ref[:, k, :] = ae.astype(jnp.float32) + eb_r.astype(jnp.float32)
+            ph = a1 * pt * b1
+            pd = (a0 * dc + a1 * do) * b1_r
+            ph_ref[:, k, :] = ph
+            pd_ref[:, k, :] = pd
+            # f32 adds (int32 would overflow on -2^30 dead-lane markers);
+            # exponents of zero acts are emitted as -inf so the XLA-side
+            # normaliser max needs no act-based masking.
+            ninf = jnp.float32(-jnp.inf)
+            ga = ae.astype(jnp.float32) + eb.astype(jnp.float32)
+            gd = ae.astype(jnp.float32) + eb_r.astype(jnp.float32)
+            ga_ref[:, k, :] = jnp.where(ph > 0.0, ga, ninf)
+            gd_ref[:, k, :] = jnp.where(pd > 0.0, gd, ninf)
 
             # ---- beta step -> beta[t] ------------------------------------
             eb_eff = jnp.where(jnp.maximum(b0, b1) > 0.0, eb, -_EBIG)
@@ -587,8 +594,9 @@ def _act_normalise(acts_and_exps):
     """
     neg = jnp.float32(-jnp.inf)
     e_max = None
-    for act, g in acts_and_exps:
-        cand = jnp.max(jnp.where(act > 0.0, g, neg), axis=2, keepdims=True)
+    for _act, g in acts_and_exps:
+        # g is pre-masked by the kernel: zero-act lanes carry -inf
+        cand = jnp.max(g, axis=2, keepdims=True)
         e_max = cand if e_max is None else jnp.maximum(e_max, cand)
     e_safe = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
     # clamp the gap at 0: zero-mantissa lanes may carry exponents above the
@@ -901,9 +909,12 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
             eb_r = jnp.where(lane == lpad_ - 1, -_EBIG, eb_r)
 
             # raw acts (simplified_ctc_loss.py:456-534); blank column is
-            # recovered in XLA from the posterior identity
-            pd_ref[:, k, :] = (a * dg) * b_r
-            gd_ref[:, k, :] = ea.astype(jnp.float32) + eb_r.astype(jnp.float32)
+            # recovered in XLA from the posterior identity; zero acts emit
+            # -inf exponents (no act-based masking needed downstream)
+            pd = (a * dg) * b_r
+            pd_ref[:, k, :] = pd
+            gd = ea.astype(jnp.float32) + eb_r.astype(jnp.float32)
+            gd_ref[:, k, :] = jnp.where(pd > 0.0, gd, jnp.float32(-jnp.inf))
 
             # beta step (simplified_ctc_loss.py:291-343)
             eb_eff = jnp.where(b > 0.0, eb, -_EBIG)
