@@ -218,3 +218,24 @@ def test_kernel_geometry_fuzz(batch, max_t, vocab, max_l, seed):
         np.testing.assert_allclose(
             np.asarray(g_fast), np.asarray(g_pure), atol=2e-5
         )
+
+
+def test_guard_disabled_matches_on_sane_inputs():
+    from tf_seq2seq_losses_tpu import classic_ctc_loss
+
+    inputs = generate_ctc_loss_inputs(
+        batch_size=3, max_logit_length=7, random_seed=9, num_tokens=4, blank_index=0
+    )
+
+    def scalar(x):
+        return jnp.sum(
+            classic_ctc_loss(
+                inputs["labels"], x, inputs["label_length"], inputs["logit_length"], 0
+            )
+        )
+
+    l_on, g_on = jax.value_and_grad(scalar)(inputs["logits"])
+    with config_override(guard=False):
+        l_off, g_off = jax.value_and_grad(scalar)(inputs["logits"])
+    np.testing.assert_allclose(float(l_on), float(l_off), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off), atol=1e-6)

@@ -63,7 +63,12 @@ def _simplified_feasible(ctx: CtcContext) -> Array:
 
 def _guarded(fast_value, fallback_fn, loss_like, feasible):
     """Select ``fast_value`` unless a feasible sample produced a non-finite
-    fast loss (float32 underflow in probability space)."""
+    fast loss (float32 underflow in probability space).
+
+    ``config.guard = False`` (env ``CTC_TPU_GUARD=0``) removes the check for
+    maximum throughput when inputs are known to be sane."""
+    if not get_config().guard:
+        return fast_value
     flushed = jnp.any(~jnp.isfinite(loss_like) & feasible)
     return jax.lax.cond(flushed, fallback_fn, lambda: fast_value)
 

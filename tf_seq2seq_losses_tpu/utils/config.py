@@ -28,6 +28,13 @@ class KernelConfig:
     # Unroll the per-block time loop inside kernels (static VMEM indices;
     # larger code, less per-step scalar/loop overhead).
     unroll: bool = True
+    # Runtime saturation guard (ops/topology.py): reroute to the exact
+    # log-space path when a feasible sample's fast loss is non-finite
+    # (logits saturated beyond float32 range, e.g. +-1e10 stability tests).
+    # Disable for maximum throughput when inputs are known to be sane
+    # (finite logits from a softmax head); the kernels themselves have
+    # unlimited dynamic range via block-float carries.
+    guard: bool = True
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
@@ -49,6 +56,8 @@ def _env_default() -> KernelConfig:
     cfg.block_time = int(os.environ.get("CTC_TPU_BLOCK_TIME", cfg.block_time))
     if os.environ.get("CTC_TPU_UNROLL") in ("0", "false", "False"):
         cfg.unroll = False
+    if os.environ.get("CTC_TPU_GUARD") in ("0", "false", "False"):
+        cfg.guard = False
     return cfg
 
 
