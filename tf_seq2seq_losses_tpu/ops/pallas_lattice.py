@@ -51,7 +51,6 @@ scale.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Tuple
 
