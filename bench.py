@@ -61,11 +61,14 @@ def _optax_classic_loss(labels, logits, label_length, logit_length, blank_index)
     )
 
 
-def _make_loop(loss_fn):
+def _make_loop(loss_fn, forward_only=False):
     @partial(jax.jit, static_argnames=("n",))
     def loop(labels, logits, label_length, logit_length, n):
         def body(i, acc):
             x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
+            if forward_only:
+                loss = jnp.mean(loss_fn(labels, x, label_length, logit_length, 0))
+                return acc + loss
             loss, grad = jax.value_and_grad(
                 lambda y: jnp.mean(
                     loss_fn(labels, y, label_length, logit_length, 0)
@@ -78,8 +81,8 @@ def _make_loop(loss_fn):
     return loop
 
 
-def timed_per_iter(loss_fn, args, n_hi=16, reps=3):
-    loop = _make_loop(loss_fn)
+def timed_per_iter(loss_fn, args, n_hi=16, reps=3, forward_only=False):
+    loop = _make_loop(loss_fn, forward_only)
     float(loop(*args, n=1))
     float(loop(*args, n=n_hi))
 
@@ -141,10 +144,47 @@ def parity_check():
     return ok
 
 
+def timed_hessian_ms(batch=2, t_len=5, vocab=3, n_hi=32, reps=3):
+    """Analytic-Hessian ms/batch at the reference README example shape
+    (B=2, T=5, V=3 — BASELINE.json config; the Hessian is a small-shape
+    feature, O(T^2 L^2) memory, SURVEY §5)."""
+    labels, logits, ll, gl = make_inputs(batch, t_len, vocab, seed=2)
+    lp = logit_to_logproba(logits, 2)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def loop(lp_, n):
+        def body(i, acc):
+            x = lp_ + acc * 0.0 + i.astype(jnp.float32) * 1e-6
+            h = ctc_loss_hessian(labels, x, ll, gl, 0, "classic")
+            return acc + jnp.sum(h) * 1e-9
+
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    float(loop(lp, n=1))
+    float(loop(lp, n=n_hi))
+
+    def best(n):
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(lp, n=n))
+            vals.append(time.perf_counter() - t0)
+        return min(vals)
+
+    return (best(n_hi) - best(1)) / (n_hi - 1) * 1e3
+
+
 def main():
     args = make_inputs(BATCH, MAX_T, VOCAB)
     ms = timed_per_iter(classic_ctc_loss, args)
     optax_ms = timed_per_iter(_optax_classic_loss, args)
+    # forward-only at the reference benchmark length T=255 (README.md:18-21)
+    fwd_args = make_inputs(BATCH, 255, VOCAB)
+    fwd_ms = timed_per_iter(classic_ctc_loss, fwd_args, forward_only=True)
+    fwd_optax_ms = timed_per_iter(
+        _optax_classic_loss, fwd_args, forward_only=True
+    )
+    hessian_ms = timed_hessian_ms()
     parity = parity_check()
     print(
         json.dumps(
@@ -155,6 +195,10 @@ def main():
                 "vs_baseline": round(optax_ms / ms, 4),
                 "baseline": "optax.ctc_loss (same chip, same shape)",
                 "optax_ms": round(optax_ms, 4),
+                "fwd_ms_T255": round(fwd_ms, 4),
+                "fwd_optax_ms_T255": round(fwd_optax_ms, 4),
+                "fwd_vs_baseline": round(fwd_optax_ms / fwd_ms, 4),
+                "hessian_ms_B2T5V3": round(hessian_ms, 4),
                 "ref_gpu_ms_scaled": BASELINE_MS,
                 "parity": parity,
                 "device": str(jax.devices()[0]),

@@ -80,6 +80,21 @@ def make_context(
         logit_length.shape[0] != batch
     ):
         raise ValueError("inconsistent batch dimensions")
+    # Loud dtype checks (reference _verify_inputs, base_loss.py:129-138):
+    # a float label would silently truncate under a cast.
+    if not jnp.issubdtype(jnp.asarray(logprobas).dtype, jnp.floating):
+        raise TypeError(
+            f"logprobas/logits must be floating point, got {jnp.asarray(logprobas).dtype}"
+        )
+    for name, t in (
+        ("labels", labels),
+        ("label_length", label_length),
+        ("logit_length", logit_length),
+    ):
+        if not jnp.issubdtype(jnp.asarray(t).dtype, jnp.integer):
+            raise TypeError(
+                f"{name} must be integer typed, got {jnp.asarray(t).dtype}"
+            )
 
     logprobas = logprobas.astype(jnp.float32)
     labels = labels.astype(jnp.int32)
