@@ -4,6 +4,7 @@ tests/test_classic_ctc_loss.py (same oracles, same tolerances)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.conftest import generate_ctc_loss_inputs
 from tests.finite_difference import finite_difference_batch_jacobian
@@ -212,6 +213,7 @@ def test_zero_batch_size_with_jit():
     assert grad.shape == (0, 4, 3)
 
 
+@pytest.mark.slow
 def test_gradient_vs_finite_difference():
     # reference: test_classic_ctc_loss.py:395-425 (epsilon=1e-3, 2 places)
     inputs = generate_ctc_loss_inputs(

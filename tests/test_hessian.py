@@ -66,6 +66,7 @@ def test_gamma_first_column_is_alpha():
     )
 
 
+@pytest.mark.slow
 def test_hessian_symmetry():
     # reference: test_hessian.py:89-108
     inputs = generate_ctc_loss_inputs(
@@ -84,6 +85,7 @@ def test_hessian_symmetry():
     )
 
 
+@pytest.mark.slow
 def test_second_derivative_shape():
     # reference: test_hessian.py:110-147
     batch_size, num_tokens, max_logit_length = 2, 3, 4
@@ -129,7 +131,13 @@ def test_second_derivative_shape():
     np.testing.assert_allclose(bd, np.asarray(analytic), atol=1e-5)
 
 
-@pytest.mark.parametrize("loss_fn", [classic_ctc_loss, simplified_ctc_loss])
+@pytest.mark.parametrize(
+    "loss_fn",
+    [
+        pytest.param(classic_ctc_loss, marks=pytest.mark.slow),
+        simplified_ctc_loss,
+    ],
+)
 def test_hessian_vs_finite_difference(loss_fn):
     # reference: test_hessian.py:149-183 and test_classic_ctc_loss.py:479-514
     inputs = generate_ctc_loss_inputs(
@@ -198,6 +206,7 @@ def test_second_gradient_jit():
     assert hess.shape == (2, 4, 3, 2, 4, 3)
 
 
+@pytest.mark.slow
 def test_third_derivative_raises():
     # reference contract: base_loss.py:177-184
     inputs = generate_ctc_loss_inputs(

@@ -184,6 +184,7 @@ def test_guard_fallback_under_jit():
         (1, 31, 3, 7, 5),     # single sample
     ],
 )
+@pytest.mark.slow
 def test_kernel_geometry_fuzz(batch, max_t, vocab, max_l, seed):
     """Pallas vs pure across padding edge cases (batch/time/lane boundaries).
 
@@ -220,6 +221,7 @@ def test_kernel_geometry_fuzz(batch, max_t, vocab, max_l, seed):
         )
 
 
+@pytest.mark.slow
 def test_guard_disabled_matches_on_sane_inputs():
     from tf_seq2seq_losses_tpu import classic_ctc_loss
 

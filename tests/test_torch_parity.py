@@ -53,6 +53,7 @@ def test_forward_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), torch_loss, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradient_matches_torch():
     # reference analogue: test_classic_ctc_loss.py:360-393 (4 decimal places)
     inputs = generate_ctc_loss_inputs(

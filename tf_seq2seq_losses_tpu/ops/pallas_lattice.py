@@ -22,17 +22,31 @@ full step math only ~0.2 ms more, while log-space ``logaddexp`` math costs
 * **Transitions are plain softmax probabilities** gathered from
   ``exp(logproba)`` by one-hot MXU matmuls.  The one-hots are padded, so the
   gathers emit kernel-ready padded tensors directly — no ``jnp.pad`` copies
-  of [B, T, L] tensors anywhere (measured at ~1.5 ms of pure copy traffic in
-  a naive pipeline).  Only 2 big transition tensors hit HBM (expected-token
-  and preceded-token probabilities); the repetition/blank masks are per-lane
-  vectors applied inside the kernel.
-* **Fused backward kernel**: beta is computed on the fly (never stored) and
-  the kernel emits normalised gradient acts ``p = act * 2^(g - E)`` with the
-  per-(b, t) normaliser ``E`` plus the blank column, plus beta[0] — from
-  which the loss is recovered for free (``loss = -log(alpha[0] . beta[0])``,
-  the invariant tested at test_classic_ctc_loss.py:146-167).  The token
-  scatter stays in XLA as a batched one-hot MXU matmul:
-  ``non_blank = E*ln2 + log(p_h @ onehot_preceded + p_d @ onehot_label)``.
+  of [B, T, L] tensors anywhere.  In-kernel per-sample contractions were
+  measured and rejected: a Mosaic batch-dim ``dot_general`` runs 500x slower
+  than the XLA einsum and lane-slice broadcasts are worse
+  (benchmarks/diag_batched_dot.py), so the two transition gathers stay in
+  XLA.
+* **Residual-free backward pass (round 2).**  The forward kernel emits only
+  *per-time-block boundary carries* ``[B, T/bt, L]`` — bt-times smaller than
+  the full alpha lattice.  The fused backward kernel re-runs the forward
+  recursion inside each time block from its boundary carry (VMEM scratch,
+  never HBM), then scans beta backwards emitting gradient acts.  This is a
+  kernel-level ``jax.checkpoint``: it removes the three [B, T, L] alpha
+  residual tensors (~0.8 GB of HBM round-trips at B=256, T=500) for one extra
+  O(T) pass of cheap step math, and caps gradient memory at O(B*T*V) —
+  T=4000 at B=256 now fits the chip.
+* **Loss-normalised act emission (round 2).**  Every (b, t) slice of
+  gradient acts sums to exp(-loss[b]) (each path crosses exactly one
+  transition per step — the alpha/beta invariant of
+  test_classic_ctc_loss.py:146-167).  The backward kernel therefore scales
+  acts by the *per-sample scalar* ``2^(e_act - Ebi)``, ``Ebi =
+  floor(-loss/ln2)``, making every emitted act a posterior in [0, 2] — f32
+  with no companion exponent tensor (two fewer [B, T, L] outputs, ~0.5 GB
+  of traffic).  No cross-lane reductions are needed in-kernel (measured at
+  ~3 ms per scan when tried).  The token scatter stays in XLA as a batched
+  one-hot MXU matmul; the blank column is recovered from the posterior
+  identity ``sum_v -grad[b,t,v] = 1``.
 * A single f32 transition probability still flushes to 0 below ~1e-38; a
   feasible sample whose loss depends on such a transition (logits saturated
   beyond ~87 nats, e.g. the reference's 1e10 stability tests) comes out
@@ -102,6 +116,22 @@ def _fit_blocks(
     return bb, bt
 
 
+# Buffer count used for every kernel participating in the gradient path:
+# the forward bound-mode and the backward kernel must agree on (bb, bt) so
+# the boundary-carry pack lines up.  Streams: dc, pt in + ph, pd out (4 big)
+# + 3 per-step alpha scratch blocks (not double-buffered, but the allocator
+# slack in the model covers them).
+_NBUF_GRAD = 8
+
+
+def _grad_geometry(batch: int, num_t: int, lp1: int):
+    lpad = _round_up(lp1, 128)
+    bb, bt = _fit_blocks(lpad, _NBUF_GRAD, num_t, batch)
+    bpad = _round_up(batch, bb)
+    tpad = _round_up(num_t, bt)
+    return bpad, tpad, lpad, bb, bt
+
+
 # ---------------------------------------------------------------------------
 # block-float primitives (inside kernels)
 # ---------------------------------------------------------------------------
@@ -145,6 +175,19 @@ def _iroll(x, shift):
 
 def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _posterior_scale(mant, ae, eb, ebi):
+    """Normalised act ``mant * 2^(ae + eb - ebi)`` without transcendentals.
+
+    ``ae``/``eb`` are int32 lane exponents (dead lanes at +-2^30), ``ebi``
+    the per-sample f32 normaliser ``floor(-loss/ln2)``.  The sum is taken in
+    f32 (int32 would overflow on dead-lane markers), clipped into the exact
+    _pow2 window; dead lanes carry zero mantissa so their scale is moot.
+    """
+    s = ae.astype(jnp.float32) + eb.astype(jnp.float32) - ebi
+    k = jnp.clip(s, -127.0, 127.0).astype(jnp.int32)
+    return mant * _pow2(k)
 
 
 # ---------------------------------------------------------------------------
@@ -238,23 +281,58 @@ def _simplified_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
     return blank, diag, oh_label_masked
 
 
+def _ebi_from_loss(loss: Array, bpad: int) -> Array:
+    """Per-sample act normaliser ``floor(-loss/ln2)`` [bpad, 1] f32.
+
+    Non-finite losses (infeasible samples, flushed fast losses) normalise by
+    2^0; their act rows are garbage that the inf-loss masking in
+    ``*_gradient_log_with_loss`` overwrites anyway.
+    """
+    safe = jnp.where(jnp.isfinite(loss), loss, 0.0)
+    ebi = jnp.floor(-safe / LN2)
+    return jnp.pad(ebi, (0, bpad - loss.shape[0]))[:, None]
+
+
 # ---------------------------------------------------------------------------
 # classic topology kernels
 # ---------------------------------------------------------------------------
+
+
+def _classic_alpha_step(a0, a1, e, blank, dc, pm, do):
+    """One forward block-float step on the (closed, open) carries
+    (classic_ctc_loss.py:415-451)."""
+    d = a0 * dc + a1 * do  # diagonal mass leaving lane l (scale e)
+    # Dead lanes (mantissa 0) must not contribute their stale exponent to
+    # the scale max, or mass arriving at a far lane (true scale far below
+    # the stale 0) would flush to zero.
+    e_eff = jnp.where(jnp.maximum(a0, a1) > 0.0, e, -_EBIG)
+    d_r = pltpu.roll(d, shift=1, axis=1)
+    e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
+    # the wrap lane carries probability 0; kill its stale exponent
+    lane = _lane_iota(e_r.shape)
+    e_r = jnp.where(lane == 0, -_EBIG, e_r)
+
+    et = jnp.maximum(e_eff, e_r)
+    sa = _pow2_nonpos(e_eff - et)
+    sd = _pow2_nonpos(e_r - et)
+    n0 = (a0 + a1) * blank * sa
+    n1 = (a1 * pm) * sa + d_r * sd
+    (n0, n1), e_new = _renorm([n0, n1], et)
+    return n0, n1, e_new
 
 
 def _classic_fwd_kernel(mode: str, block_t: int):
     """Block-float alpha scan (classic_ctc_loss.py:379-451).
 
     Carry: mantissas (a0 closed, a1 open) [bb, Lpad] f32 + shared per-lane
-    exponent e [bb, Lpad] int32.  mode 'final' emits the last carry; mode
-    'pre' emits pre-step slices (the ``alpha[:, :-1]`` operand of the
-    gradient combine, base_loss.py:274).
+    exponent e [bb, Lpad] int32.  mode 'final' emits only the last carry;
+    mode 'bound' additionally emits the carry at each time-block boundary
+    (the checkpoint the backward kernel re-expands from).
     """
 
     def kernel(blank_ref, dc_ref, pt_ref, nb_ref, rep_ref, *rest):
-        if mode == "pre":
-            o0_ref, o1_ref, oe_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
+        if mode == "bound":
+            b0_ref, b1_ref, be_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         else:
             f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         j = pl.program_id(1)
@@ -266,36 +344,20 @@ def _classic_fwd_kernel(mode: str, block_t: int):
             a1_s[:] = jnp.zeros(a1_s.shape, jnp.float32)
             e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
+        if mode == "bound":
+            # carry entering this block == boundary checkpoint
+            b0_ref[0, :, :] = a0_s[:]
+            b1_ref[0, :, :] = a1_s[:]
+            be_ref[0, :, :] = e_s[:]
+
         def step(k, _):
             blank = blank_ref[:, k, :]  # [bb, 1]
             dc = dc_ref[:, k, :]  # [bb, Lpad]
             pm = pt_ref[:, k, :] * nb_ref[:]
             do = dc * rep_ref[:]
-            a0 = a0_s[:]
-            a1 = a1_s[:]
-            e = e_s[:]
-            if mode == "pre":
-                o0_ref[:, k, :] = a0
-                o1_ref[:, k, :] = a1
-                oe_ref[:, k, :] = e
-
-            d = a0 * dc + a1 * do  # diagonal mass leaving lane l (scale e)
-            # Dead lanes (mantissa 0) must not contribute their stale
-            # exponent to the scale max, or mass arriving at a far lane
-            # (true scale far below the stale 0) would flush to zero.
-            e_eff = jnp.where(jnp.maximum(a0, a1) > 0.0, e, -_EBIG)
-            d_r = pltpu.roll(d, shift=1, axis=1)
-            e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
-            # the wrap lane carries probability 0; kill its stale exponent
-            lane = _lane_iota(e_r.shape)
-            e_r = jnp.where(lane == 0, -_EBIG, e_r)
-
-            et = jnp.maximum(e_eff, e_r)
-            sa = _pow2_nonpos(e_eff - et)
-            sd = _pow2_nonpos(e_r - et)
-            n0 = (a0 + a1) * blank * sa
-            n1 = (a1 * pm) * sa + d_r * sd
-            (n0, n1), e_new = _renorm([n0, n1], et)
+            n0, n1, e_new = _classic_alpha_step(
+                a0_s[:], a1_s[:], e_s[:], blank, dc, pm, do
+            )
             a0_s[:] = n0
             a1_s[:] = n1
             e_s[:] = e_new
@@ -306,6 +368,7 @@ def _classic_fwd_kernel(mode: str, block_t: int):
                 step(_k, 0)
         else:
             jax.lax.fori_loop(0, block_t, step, 0)
+
         if mode == "final":
             f0_ref[:] = a0_s[:]
             f1_ref[:] = a1_s[:]
@@ -329,17 +392,20 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    # time-block index leads so the trailing (bb, lpad) block satisfies
+    # Mosaic's (8, 128) tiling constraint
+    bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (j, i, 0))
 
-    if mode == "pre":
+    if mode == "bound":
         out_shape = (
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tb, bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tb, bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tb, bpad, lpad), jnp.int32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
-        out_specs = (big, big, big, vec, vec, vec)
+        out_specs = (bound, bound, bound, vec, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -366,6 +432,14 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
     )(blank, dc, pt, nb, rep)
 
 
+def _pick_loss(f0, f1, fe, ctx, batch, lp1):
+    total = (f0 + f1)[:batch, :lp1]
+    e = fe[:batch, :lp1]
+    picked = jnp.take_along_axis(total, ctx.label_length[:, None], axis=1)[:, 0]
+    picked_e = jnp.take_along_axis(e, ctx.label_length[:, None], axis=1)[:, 0]
+    return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+
+
 @jax.jit
 def _classic_loss_fast_impl(ctx: CtcContext):
     batch, num_t, _ = ctx.logproba.shape
@@ -376,11 +450,7 @@ def _classic_loss_fast_impl(ctx: CtcContext):
     tpad = _round_up(num_t, bt)
     blank, dc, pt, nb, rep, _, _ = _classic_padded_inputs(ctx, bpad, tpad, lpad)
     f0, f1, fe = _classic_fwd_call(blank, dc, pt, nb, rep, mode="final", bb=bb, bt=bt)
-    total = (f0 + f1)[:batch, :lp1]
-    e = fe[:batch, :lp1]
-    picked = jnp.take_along_axis(total, ctx.label_length[:, None], axis=1)[:, 0]
-    picked_e = jnp.take_along_axis(e, ctx.label_length[:, None], axis=1)[:, 0]
-    return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+    return _pick_loss(f0, f1, fe, ctx, batch, lp1)
 
 
 def classic_loss_fast(ctx: CtcContext) -> Array:
@@ -398,29 +468,23 @@ def classic_loss_fast(ctx: CtcContext) -> Array:
 
 @jax.jit
 def _classic_loss_and_pack_impl(ctx: CtcContext):
-    """Loss via the pre-mode kernel, returning the alpha tensors as well.
+    """Loss via the bound-mode kernel, returning the boundary-carry pack.
 
-    Used by the AD forward pass (autodiff.py loss_fwd): the alpha tensors
-    become custom-VJP residuals so the gradient backward pass skips its own
-    forward scan.  Standalone (undifferentiated) calls keep the lean
-    final-only kernel (``classic_loss_fast``).
+    Used by the AD forward pass (autodiff.py loss_fwd): the per-block
+    boundary carries (bt-times smaller than full alpha) become custom-VJP
+    residuals; the backward kernel re-expands each block in VMEM.
+    Standalone (undifferentiated) calls keep the lean final-only kernel
+    (``classic_loss_fast``).
     """
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    lpad = _round_up(lp1, 128)
-    bb, bt = _fit_blocks(lpad, num_big_buffers=10, num_t=num_t, batch=batch)
-    bpad = _round_up(batch, bb)
-    tpad = _round_up(num_t, bt)
+    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
     blank, dc, pt, nb, rep, _, _ = _classic_padded_inputs(ctx, bpad, tpad, lpad)
-    a0, a1, ae, f0, f1, fe = _classic_fwd_call(
-        blank, dc, pt, nb, rep, mode="pre", bb=bb, bt=bt
+    b0, b1, be, f0, f1, fe = _classic_fwd_call(
+        blank, dc, pt, nb, rep, mode="bound", bb=bb, bt=bt
     )
-    total = (f0 + f1)[:batch, :lp1]
-    e = fe[:batch, :lp1]
-    picked = jnp.take_along_axis(total, ctx.label_length[:, None], axis=1)[:, 0]
-    picked_e = jnp.take_along_axis(e, ctx.label_length[:, None], axis=1)[:, 0]
-    loss = -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
-    return loss, (a0, a1, ae)
+    loss = _pick_loss(f0, f1, fe, ctx, batch, lp1)
+    return loss, (b0, b1, be, loss)
 
 
 def classic_loss_and_pack(ctx: CtcContext):
@@ -431,41 +495,72 @@ def classic_loss_and_pack(ctx: CtcContext):
 
 
 def _classic_bwd_kernel(block_t: int):
-    """Fused block-float backward scan (classic_ctc_loss.py:349-364, 565-669).
+    """Fused residual-free backward kernel
+    (classic_ctc_loss.py:349-364, 565-669).
 
-    Emits *raw* mantissa products for the gradient acts plus their f32
-    log2-exponents (one add per element) — all per-(b, t) normalisation,
-    the cross-lane maxes and the logs happen afterwards in XLA where they
-    vectorise over every (b, t) at once instead of serialising inside the
-    scan (measured: in-kernel reductions cost ~3 ms at T=500).
+    Phase 1 re-runs the forward recursion across the block from the
+    boundary carry, parking per-step alpha in VMEM scratch.  Phase 2 scans
+    beta backwards, emitting *loss-normalised posterior acts*:
 
-    Outputs per time step:
-      ph  = a1 * pt * b1                      (repeat-horizontal act mantissa)
-      pd  = (a0*dc + a1*do) * b1[l+1]         (diagonal act mantissa)
-      ab  = (a0 + a1) * b0                    (blank-column act mantissa)
-      ga  = ae + eb   as f32                  (exponent of ph and ab)
-      gd  = ae + eb[l+1] as f32               (exponent of pd)
-    plus beta[0] (mantissa + exponent) for the loss.
+      ph  = a1 * pt * b1            * 2^(ae + eb - Ebi)   (repeat-horizontal)
+      pd  = (a0*dc + a1*do) * b1_r  * 2^(ae + eb_r - Ebi) (diagonal)
+
+    with ``Ebi = floor(-loss/ln2)`` per sample — the acts are posteriors in
+    [0, 2], so a plain f32 output carries them exactly (entries below
+    ~1e-38 of the total path mass flush to zero gradient, the library-wide
+    relative contract).  Also emits beta[0] (mantissa + exponent), from
+    which the loss is recovered for free (``loss = -log(alpha[0].beta[0])``,
+    the invariant tested at test_classic_ctc_loss.py:146-167).
     """
 
     def kernel(
+        init_ref, ebi_ref,
         blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
-        a0_ref, a1_ref, ae_ref,
-        ph_ref, pd_ref, ga_ref, gd_ref, fin_ref, fe_ref,
-        b0_s, b1_s, e_s,
+        bb0_ref, bb1_ref, bbe_ref,
+        ph_ref, pd_ref, fin_ref, fe_ref,
+        sa0, sa1, sae, b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
 
-        def step(kk, _):
+        @pl.when(j == 0)
+        def _():
+            b0_s[:] = init_ref[:]
+            b1_s[:] = init_ref[:]
+            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
+
+        # ---- phase 1: re-expand alpha across the block (forward) ----------
+        def fwd_step(k, carry):
+            a0, a1, e = carry
+            sa0[:, k, :] = a0
+            sa1[:, k, :] = a1
+            sae[:, k, :] = e
+            blank = blank_ref[:, k, :]
+            dc = dc_ref[:, k, :]
+            pm = pt_ref[:, k, :] * nb_ref[:]
+            do = dc * rep_ref[:]
+            return _classic_alpha_step(a0, a1, e, blank, dc, pm, do)
+
+        carry0 = (bb0_ref[0, :, :], bb1_ref[0, :, :], bbe_ref[0, :, :])
+        if get_config().unroll:
+            c = carry0
+            for _k in range(block_t):
+                c = fwd_step(_k, c)
+        else:
+            jax.lax.fori_loop(0, block_t, fwd_step, carry0)
+
+        # ---- phase 2: beta scan backwards, emitting normalised acts -------
+        ebi = ebi_ref[:]  # [bb, 1] f32
+
+        def bwd_step(kk, _):
             k = block_t - 1 - kk
             blank = blank_ref[:, k, :]
             dc = dc_ref[:, k, :]
             pt = pt_ref[:, k, :]
             pm = pt * nb_ref[:]
             do = dc * rep_ref[:]
-            a0 = a0_ref[:, k, :]
-            a1 = a1_ref[:, k, :]
-            ae = ae_ref[:, k, :]  # int32 alpha exponent at t
+            a0 = sa0[:, k, :]
+            a1 = sa1[:, k, :]
+            ae = sae[:, k, :]
             b0 = b0_s[:]  # beta[t+1]
             b1 = b1_s[:]
             eb = e_s[:]
@@ -476,21 +571,12 @@ def _classic_bwd_kernel(block_t: int):
             lane = _lane_iota(eb_r.shape)
             eb_r = jnp.where(lane == lpad - 1, -_EBIG, eb_r)
 
-            # ---- raw gradient acts at time t (normalised later in XLA) ----
-            # The blank column is recovered in XLA from the posterior
-            # identity sum_v(-grad[b,t,v]) = 1, so no blank act is emitted.
-            ph = a1 * pt * b1
-            pd = (a0 * dc + a1 * do) * b1_r
-            ph_ref[:, k, :] = ph
-            pd_ref[:, k, :] = pd
-            # f32 adds (int32 would overflow on -2^30 dead-lane markers);
-            # exponents of zero acts are emitted as -inf so the XLA-side
-            # normaliser max needs no act-based masking.
-            ninf = jnp.float32(-jnp.inf)
-            ga = ae.astype(jnp.float32) + eb.astype(jnp.float32)
-            gd = ae.astype(jnp.float32) + eb_r.astype(jnp.float32)
-            ga_ref[:, k, :] = jnp.where(ph > 0.0, ga, ninf)
-            gd_ref[:, k, :] = jnp.where(pd > 0.0, gd, ninf)
+            # normalised posterior acts at time t; the blank column is
+            # recovered in XLA from the posterior identity
+            ph_ref[:, k, :] = _posterior_scale(a1 * pt * b1, ae, eb, ebi)
+            pd_ref[:, k, :] = _posterior_scale(
+                (a0 * dc + a1 * do) * b1_r, ae, eb_r, ebi
+            )
 
             # ---- beta step -> beta[t] ------------------------------------
             eb_eff = jnp.where(jnp.maximum(b0, b1) > 0.0, eb, -_EBIG)
@@ -511,9 +597,9 @@ def _classic_bwd_kernel(block_t: int):
 
         if get_config().unroll:
             for _k in range(block_t):
-                step(_k, 0)
+                bwd_step(_k, 0)
         else:
-            jax.lax.fori_loop(0, block_t, step, 0)
+            jax.lax.fori_loop(0, block_t, bwd_step, 0)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -525,10 +611,11 @@ def _classic_bwd_kernel(block_t: int):
 
 
 def _classic_bwd_call(
-    blank, dc, pt, nb, rep, a0, a1, ae, init_lane, *, bb, bt
+    blank, dc, pt, nb, rep, bnd0, bnd1, bnde, init_lane, ebi, *, bb, bt
 ):
     """init_lane: [bpad, lpad] f32 one-hot at label_length (beta init for
-    both states, classic_ctc_loss.py:366-377)."""
+    both states, classic_ctc_loss.py:366-377); ebi: [bpad, 1] f32 act
+    normaliser; bnd*: [bpad, n_tb, lpad] boundary carries."""
     cfg = get_config()
     bpad, tpad, lpad = dc.shape
     n_tb = tpad // bt
@@ -536,41 +623,24 @@ def _classic_bwd_call(
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
-
-    def kernel_with_init(
-        init_ref, blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
-        a0_ref, a1_ref, ae_ref,
-        ph_ref, pd_ref, ga_ref, gd_ref, fin_ref, fe_ref,
-        b0_s, b1_s, e_s,
-    ):
-        j = pl.program_id(1)
-
-        @pl.when(j == 0)
-        def _():
-            b0_s[:] = init_ref[:]
-            b1_s[:] = init_ref[:]
-            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
-
-        inner = _classic_bwd_kernel(bt)
-        inner(
-            blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
-            a0_ref, a1_ref, ae_ref,
-            ph_ref, pd_ref, ga_ref, gd_ref, fin_ref, fe_ref,
-            b0_s, b1_s, e_s,
-        )
+    svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
+    bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
 
     big3 = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
     return pl.pallas_call(
-        kernel_with_init,
+        _classic_bwd_kernel(bt),
         grid=grid,
-        in_specs=[vec, small, big, big, vec, vec, big, big, big],
-        out_specs=(big, big, big, big, vec, vec),
+        in_specs=[vec, svec, small, big, big, vec, vec, bound, bound, bound],
+        out_specs=(big, big, vec, vec),
         out_shape=(
-            big3, big3, big3, big3,
+            big3, big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
         ),
         scratch_shapes=[
+            pltpu.VMEM((bb, bt, lpad), jnp.float32),
+            pltpu.VMEM((bb, bt, lpad), jnp.float32),
+            pltpu.VMEM((bb, bt, lpad), jnp.int32),
             pltpu.VMEM((bb, lpad), jnp.float32),
             pltpu.VMEM((bb, lpad), jnp.float32),
             pltpu.VMEM((bb, lpad), jnp.int32),
@@ -579,31 +649,7 @@ def _classic_bwd_call(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(init_lane, blank, dc, pt, nb, rep, a0, a1, ae)
-
-
-def _act_normalise(acts_and_exps):
-    """Per-(b, t) scalar normaliser over several (mantissa, exponent) act
-    tensors: returns (E [B, T, 1] f32 log2-scale, scaled mantissas).
-
-    Lanes with zero mantissa are excluded from the max; the exp2 rescale is
-    exact for in-range integer exponents and flushes to 0 more than ~126
-    doublings below the maximum — the same relative-error contract as the
-    pure path's max-normalised scatter (ops/core.py select_from_act).
-    """
-    neg = jnp.float32(-jnp.inf)
-    e_max = None
-    for _act, g in acts_and_exps:
-        # g is pre-masked by the kernel: zero-act lanes carry -inf
-        cand = jnp.max(g, axis=2, keepdims=True)
-        e_max = cand if e_max is None else jnp.maximum(e_max, cand)
-    e_safe = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
-    # clamp the gap at 0: zero-mantissa lanes may carry exponents above the
-    # masked max, and exp2(+big) = inf would turn 0 * inf into NaN
-    scaled = [
-        act * jnp.exp2(jnp.minimum(g - e_safe, 0.0)) for act, g in acts_and_exps
-    ]
-    return e_safe, jnp.where(jnp.isfinite(e_max), 0.0, neg), scaled
+    )(init_lane, ebi, blank, dc, pt, nb, rep, bnd0, bnd1, bnde)
 
 
 def _assemble_with_blank_identity(
@@ -632,46 +678,37 @@ def _assemble_with_blank_identity(
 
 
 @jax.jit
-def _classic_grad_impl(ctx: CtcContext, pack=None):
+def _classic_grad_impl(ctx: CtcContext, pack):
     """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels.
 
-    ``pack = (a0, a1, ae)``: padded alpha tensors from the loss forward pass
-    (same deterministic block geometry); when given, the forward scan is
-    skipped entirely.
+    ``pack = (bnd0, bnd1, bnde, loss)``: boundary alpha carries + loss from
+    the forward pass (same deterministic block geometry).
     """
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    lpad = _round_up(lp1, 128)
-    bb, bt = _fit_blocks(lpad, num_big_buffers=10, num_t=num_t, batch=batch)
-    bpad = _round_up(batch, bb)
-    tpad = _round_up(num_t, bt)
+    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
 
     blank, dc, pt, nb, rep, oh_label, oh_prec = _classic_padded_inputs(
         ctx, bpad, tpad, lpad
     )
-    if pack is None:
-        a0, a1, ae, _, _, _ = _classic_fwd_call(
-            blank, dc, pt, nb, rep, mode="pre", bb=bb, bt=bt
-        )
-    else:
-        a0, a1, ae = pack
+    bnd0, bnd1, bnde, loss = pack
     init_lane = (
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
     ).astype(jnp.float32)
-    ph, pd, ga, gd, fin, fe = _classic_bwd_call(
-        blank, dc, pt, nb, rep, a0, a1, ae, init_lane, bb=bb, bt=bt
+    ebi = _ebi_from_loss(loss, bpad)
+    ph, pd, fin, fe = _classic_bwd_call(
+        blank, dc, pt, nb, rep, bnd0, bnd1, bnde, init_lane, ebi, bb=bb, bt=bt
     )
     fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
 
-    # normalise acts per (b, t) and scatter into token bins on the MXU
-    e_act, e_dead, (ph_n, pd_n) = _act_normalise([(ph, ga), (pd, gd)])
+    # scatter the posterior acts into token bins on the MXU
     sums = jnp.einsum(
-        "btl,blv->btv", ph_n, oh_prec, precision=jax.lax.Precision.HIGHEST
+        "btl,blv->btv", ph, oh_prec, precision=jax.lax.Precision.HIGHEST
     ) + jnp.einsum(
-        "btl,blv->btv", pd_n, oh_label, precision=jax.lax.Precision.HIGHEST
+        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
     )
-    non_blank = e_act * LN2 + e_dead + jnp.log(sums)
+    non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     return _assemble_with_blank_identity(
         ctx, non_blank, fast_loss, batch, num_t, num_tokens
     )
@@ -683,8 +720,9 @@ def classic_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
     Returns ``(log(-grad), fast_loss)``; semantics identical to the pure
     path (base_loss.py:270-298).  ``fast_loss`` is always the kernel-derived
     loss (from beta[0]) — it doubles as the flush detector for the
-    saturation guard in ops/topology.py.  When ``loss`` is None the derived
-    value is also used for the output assembly (no extra forward pass).
+    saturation guard in ops/topology.py.  When ``pack`` is None (standalone
+    gradient call) the forward bound-mode kernel runs first to produce the
+    boundary carries and the normaliser loss.
     """
     from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
 
@@ -695,6 +733,8 @@ def classic_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
             loss = classic_mod.loss(ctx, classic_mod.alpha(ctx))
         return empty, loss
 
+    if pack is None:
+        _, pack = _classic_loss_and_pack_impl(ctx)
     combined, fast_loss = _classic_grad_impl(ctx, pack)
     if loss is None:
         loss = fast_loss
@@ -713,12 +753,28 @@ def classic_gradient_log(ctx: CtcContext, loss=None) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _simplified_alpha_step(a, e, blank, dg):
+    """One forward block-float step on the single-state carry
+    (simplified_ctc_loss.py:358-438)."""
+    d = a * dg
+    e_eff = jnp.where(a > 0.0, e, -_EBIG)
+    d_r = pltpu.roll(d, shift=1, axis=1)
+    e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
+    lane = _lane_iota(e_r.shape)
+    e_r = jnp.where(lane == 0, -_EBIG, e_r)
+
+    et = jnp.maximum(e_eff, e_r)
+    n = (a * blank) * _pow2_nonpos(e_eff - et) + d_r * _pow2_nonpos(e_r - et)
+    (n,), e_new = _renorm([n], et)
+    return n, e_new
+
+
 def _simplified_fwd_kernel(mode: str, block_t: int):
     """Block-float single-state alpha scan (simplified_ctc_loss.py:358-438)."""
 
     def kernel(blank_ref, dg_ref, *rest):
-        if mode == "pre":
-            o_ref, oe_ref, f_ref, fe_ref, a_s, e_s = rest
+        if mode == "bound":
+            b_ref, be_ref, f_ref, fe_ref, a_s, e_s = rest
         else:
             f_ref, fe_ref, a_s, e_s = rest
         j = pl.program_id(1)
@@ -729,25 +785,14 @@ def _simplified_fwd_kernel(mode: str, block_t: int):
             a_s[:] = jnp.where(lane == 0, 1.0, 0.0)
             e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
+        if mode == "bound":
+            b_ref[0, :, :] = a_s[:]
+            be_ref[0, :, :] = e_s[:]
+
         def step(k, _):
-            blank = blank_ref[:, k, :]
-            dg = dg_ref[:, k, :]
-            a = a_s[:]
-            e = e_s[:]
-            if mode == "pre":
-                o_ref[:, k, :] = a
-                oe_ref[:, k, :] = e
-
-            d = a * dg
-            e_eff = jnp.where(a > 0.0, e, -_EBIG)
-            d_r = pltpu.roll(d, shift=1, axis=1)
-            e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
-            lane = _lane_iota(e_r.shape)
-            e_r = jnp.where(lane == 0, -_EBIG, e_r)
-
-            et = jnp.maximum(e_eff, e_r)
-            n = (a * blank) * _pow2_nonpos(e_eff - et) + d_r * _pow2_nonpos(e_r - et)
-            (n,), e_new = _renorm([n], et)
+            n, e_new = _simplified_alpha_step(
+                a_s[:], e_s[:], blank_ref[:, k, :], dg_ref[:, k, :]
+            )
             a_s[:] = n
             e_s[:] = e_new
             return 0
@@ -778,15 +823,16 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (j, i, 0))
 
-    if mode == "pre":
+    if mode == "bound":
         out_shape = (
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tb, bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tb, bpad, lpad), jnp.int32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
-        out_specs = (big, big, vec, vec)
+        out_specs = (bound, bound, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -811,6 +857,16 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
     )(blank, dg)
 
 
+def _pick_loss_single(fin, fe, ctx, batch, lp1):
+    picked = jnp.take_along_axis(
+        fin[:batch, :lp1], ctx.label_length[:, None], axis=1
+    )[:, 0]
+    picked_e = jnp.take_along_axis(
+        fe[:batch, :lp1], ctx.label_length[:, None], axis=1
+    )[:, 0]
+    return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+
+
 @jax.jit
 def _simplified_loss_fast_impl(ctx: CtcContext):
     batch, num_t, _ = ctx.logproba.shape
@@ -821,13 +877,7 @@ def _simplified_loss_fast_impl(ctx: CtcContext):
     tpad = _round_up(num_t, bt)
     blank, dg, _ = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
     fin, fe = _simplified_fwd_call(blank, dg, mode="final", bb=bb, bt=bt)
-    picked = jnp.take_along_axis(
-        fin[:batch, :lp1], ctx.label_length[:, None], axis=1
-    )[:, 0]
-    picked_e = jnp.take_along_axis(
-        fe[:batch, :lp1], ctx.label_length[:, None], axis=1
-    )[:, 0]
-    return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
+    return _pick_loss_single(fin, fe, ctx, batch, lp1)
 
 
 def simplified_loss_fast(ctx: CtcContext) -> Array:
@@ -842,24 +892,15 @@ def simplified_loss_fast(ctx: CtcContext) -> Array:
 
 @jax.jit
 def _simplified_loss_and_pack_impl(ctx: CtcContext):
-    """Loss via the pre-mode kernel plus the alpha tensors as residuals
+    """Loss via the bound-mode kernel plus the boundary-carry pack
     (see classic_loss_and_pack)."""
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    lpad = _round_up(lp1, 128)
-    bb, bt = _fit_blocks(lpad, num_big_buffers=8, num_t=num_t, batch=batch)
-    bpad = _round_up(batch, bb)
-    tpad = _round_up(num_t, bt)
+    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
     blank, dg, _ = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
-    a, ae, fin, fe = _simplified_fwd_call(blank, dg, mode="pre", bb=bb, bt=bt)
-    picked = jnp.take_along_axis(
-        fin[:batch, :lp1], ctx.label_length[:, None], axis=1
-    )[:, 0]
-    picked_e = jnp.take_along_axis(
-        fe[:batch, :lp1], ctx.label_length[:, None], axis=1
-    )[:, 0]
-    loss = -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
-    return loss, (a, ae)
+    b, be, fin, fe = _simplified_fwd_call(blank, dg, mode="bound", bb=bb, bt=bt)
+    loss = _pick_loss_single(fin, fe, ctx, batch, lp1)
+    return loss, (b, be, loss)
 
 
 def simplified_loss_and_pack(ctx: CtcContext):
@@ -871,7 +912,7 @@ def simplified_loss_and_pack(ctx: CtcContext):
     return _simplified_loss_and_pack_impl(ctx)
 
 
-def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
+def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
     cfg = get_config()
     bpad, tpad, lpad = dg.shape
     n_tb = tpad // bt
@@ -879,11 +920,13 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
+    bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
 
     def kernel(
-        init_ref, blank_ref, dg_ref, a_ref, ae_ref,
-        pd_ref, gd_ref, fin_ref, fe_ref,
-        b_s, e_s,
+        init_ref, ebi_ref, blank_ref, dg_ref, bb_ref, bbe_ref,
+        pd_ref, fin_ref, fe_ref,
+        sa, sae, b_s, e_s,
     ):
         j = pl.program_id(1)
 
@@ -892,12 +935,31 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
             b_s[:] = init_ref[:]
             e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
-        def step(kk, _):
+        # phase 1: re-expand alpha across the block
+        def fwd_step(k, carry):
+            a, e = carry
+            sa[:, k, :] = a
+            sae[:, k, :] = e
+            return _simplified_alpha_step(
+                a, e, blank_ref[:, k, :], dg_ref[:, k, :]
+            )
+
+        carry0 = (bb_ref[0, :, :], bbe_ref[0, :, :])
+        if get_config().unroll:
+            c = carry0
+            for _k in range(bt):
+                c = fwd_step(_k, c)
+        else:
+            jax.lax.fori_loop(0, bt, fwd_step, carry0)
+
+        ebi = ebi_ref[:]
+
+        def bwd_step(kk, _):
             k = bt - 1 - kk
             blank = blank_ref[:, k, :]
             dg = dg_ref[:, k, :]
-            a = a_ref[:, k, :]
-            ea = ae_ref[:, k, :]
+            a = sa[:, k, :]
+            ea = sae[:, k, :]
             b = b_s[:]
             eb = e_s[:]
             lpad_ = b.shape[1]
@@ -907,13 +969,9 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
             lane = _lane_iota(eb_r.shape)
             eb_r = jnp.where(lane == lpad_ - 1, -_EBIG, eb_r)
 
-            # raw acts (simplified_ctc_loss.py:456-534); blank column is
-            # recovered in XLA from the posterior identity; zero acts emit
-            # -inf exponents (no act-based masking needed downstream)
-            pd = (a * dg) * b_r
-            pd_ref[:, k, :] = pd
-            gd = ea.astype(jnp.float32) + eb_r.astype(jnp.float32)
-            gd_ref[:, k, :] = jnp.where(pd > 0.0, gd, jnp.float32(-jnp.inf))
+            # normalised posterior act (simplified_ctc_loss.py:456-534);
+            # blank column recovered in XLA from the posterior identity
+            pd_ref[:, k, :] = _posterior_scale((a * dg) * b_r, ea, eb_r, ebi)
 
             # beta step (simplified_ctc_loss.py:291-343)
             eb_eff = jnp.where(b > 0.0, eb, -_EBIG)
@@ -929,9 +987,9 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
 
         if get_config().unroll:
             for _k in range(bt):
-                step(_k, 0)
+                bwd_step(_k, 0)
         else:
-            jax.lax.fori_loop(0, bt, step, 0)
+            jax.lax.fori_loop(0, bt, bwd_step, 0)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -942,14 +1000,16 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vec, small, big, big, big],
-        out_specs=(big, big, vec, vec),
+        in_specs=[vec, svec, small, big, bound, bound],
+        out_specs=(big, vec, vec),
         out_shape=(
-            big3, big3,
+            big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
         ),
         scratch_shapes=[
+            pltpu.VMEM((bb, bt, lpad), jnp.float32),
+            pltpu.VMEM((bb, bt, lpad), jnp.int32),
             pltpu.VMEM((bb, lpad), jnp.float32),
             pltpu.VMEM((bb, lpad), jnp.int32),
         ],
@@ -957,37 +1017,31 @@ def _simplified_bwd_call(blank, dg, a, ae, init_lane, *, bb, bt):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(init_lane, blank, dg, a, ae)
+    )(init_lane, ebi, blank, dg, bnd, bnde)
 
 
 @jax.jit
-def _simplified_grad_impl(ctx: CtcContext, pack=None):
+def _simplified_grad_impl(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    lpad = _round_up(lp1, 128)
-    bb, bt = _fit_blocks(lpad, num_big_buffers=8, num_t=num_t, batch=batch)
-    bpad = _round_up(batch, bb)
-    tpad = _round_up(num_t, bt)
+    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
 
     blank, dg, oh_label = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
-    if pack is None:
-        a, ae, _, _ = _simplified_fwd_call(blank, dg, mode="pre", bb=bb, bt=bt)
-    else:
-        a, ae = pack
+    bnd, bnde, loss = pack
     init_lane = (
         _lane_iota((bpad, lpad))
         == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
     ).astype(jnp.float32)
-    pd, gd, fin, fe = _simplified_bwd_call(
-        blank, dg, a, ae, init_lane, bb=bb, bt=bt
+    ebi = _ebi_from_loss(loss, bpad)
+    pd, fin, fe = _simplified_bwd_call(
+        blank, dg, bnd, bnde, init_lane, ebi, bb=bb, bt=bt
     )
     fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
 
-    e_act, e_dead, (pd_n,) = _act_normalise([(pd, gd)])
     sums = jnp.einsum(
-        "btl,blv->btv", pd_n, oh_label, precision=jax.lax.Precision.HIGHEST
+        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
     )
-    non_blank = e_act * LN2 + e_dead + jnp.log(sums)
+    non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     return _assemble_with_blank_identity(
         ctx, non_blank, fast_loss, batch, num_t, num_tokens
     )
@@ -1005,6 +1059,8 @@ def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
             loss = s.loss(ctx, s.alpha(ctx))
         return empty, loss
 
+    if pack is None:
+        _, pack = _simplified_loss_and_pack_impl(ctx)
     combined, fast_loss = _simplified_grad_impl(ctx, pack)
     if loss is None:
         loss = fast_loss
