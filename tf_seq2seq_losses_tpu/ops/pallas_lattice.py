@@ -177,19 +177,6 @@ def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
-def _posterior_scale(mant, ae, eb, ebi):
-    """Normalised act ``mant * 2^(ae + eb - ebi)`` without transcendentals.
-
-    ``ae``/``eb`` are int32 lane exponents (dead lanes at +-2^30), ``ebi``
-    the per-sample f32 normaliser ``floor(-loss/ln2)``.  The sum is taken in
-    f32 (int32 would overflow on dead-lane markers), clipped into the exact
-    _pow2 window; dead lanes carry zero mantissa so their scale is moot.
-    """
-    s = ae.astype(jnp.float32) + eb.astype(jnp.float32) - ebi
-    k = jnp.clip(s, -127.0, 127.0).astype(jnp.int32)
-    return mant * _pow2(k)
-
-
 # ---------------------------------------------------------------------------
 # padded probability-space inputs (no [B, T, L] pad copies: the one-hots are
 # padded so the MXU gathers emit kernel-ready padded tensors directly)
@@ -298,37 +285,97 @@ def _ebi_from_loss(loss: Array, bpad: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _classic_alpha_step(a0, a1, e, blank, dc, pm, do):
-    """One forward block-float step on the (closed, open) carries
-    (classic_ctc_loss.py:415-451)."""
-    d = a0 * dc + a1 * do  # diagonal mass leaving lane l (scale e)
-    # Dead lanes (mantissa 0) must not contribute their stale exponent to
-    # the scale max, or mass arriving at a far lane (true scale far below
-    # the stale 0) would flush to zero.
-    e_eff = jnp.where(jnp.maximum(a0, a1) > 0.0, e, -_EBIG)
-    d_r = pltpu.roll(d, shift=1, axis=1)
-    e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
-    # the wrap lane carries probability 0; kill its stale exponent
-    lane = _lane_iota(e_r.shape)
-    e_r = jnp.where(lane == 0, -_EBIG, e_r)
+# ---------------------------------------------------------------------------
+# frozen-frame windows
+#
+# Per-lane exponent maintenance every step costs ~55 VPU ops; measured on the
+# chip, the scans are VPU-arithmetic-bound, not HBM-bound (benchmarks/
+# sweep_v3.py: block geometry moves the time <8%).  The window scheme opens a
+# "frame" every K steps:
+#
+#   * fold mantissa magnitude into the exponent (true exponent e_t),
+#   * take F = running max of e_t over the K source lanes in the direction
+#     mass flows (K exact wrap-killed rolls — the frame must cover every
+#     lane whose mass can arrive within the window, which bounds mantissa
+#     growth at < 2^(K+4): no overflow),
+#   * rescale the carries into frame F and precompute the single
+#     neighbour-alignment factor s_arr = 2^(F_src - F).
+#
+# The K steps inside the window are then plain f32 multiply-adds plus one
+# lane roll and one fixed-factor multiply — no exponent arithmetic at all.
+# Underflow contract: a lane flushes when it falls 2^-126 below the maximum
+# of its K-lane neighbourhood within one window (window=1 reproduces the
+# per-step scheme exactly).
+# ---------------------------------------------------------------------------
 
-    et = jnp.maximum(e_eff, e_r)
-    sa = _pow2_nonpos(e_eff - et)
-    sd = _pow2_nonpos(e_r - et)
-    n0 = (a0 + a1) * blank * sa
-    n1 = (a1 * pm) * sa + d_r * sd
-    (n0, n1), e_new = _renorm([n0, n1], et)
-    return n0, n1, e_new
+
+def _true_exp(mants, e):
+    """Per-lane true exponent e + floor(log2 mantissa); -2^30 for dead lanes."""
+    m = mants[0]
+    for v in mants[1:]:
+        m = jnp.maximum(m, v)
+    ef = _expfield(m)
+    return jnp.where(ef == 0, -_EBIG, e + (ef - 127))
 
 
-def _classic_fwd_kernel(mode: str, block_t: int):
-    """Block-float alpha scan (classic_ctc_loss.py:379-451).
+def _open_window(mants, e, max_lag, forward):
+    """Renormalise carries into the window frame.
+
+    Returns ``(rescaled mants, F, s_arr)``: mantissas become
+    ``true_value * 2^-F``; ``s_arr`` aligns mass rolled in from the source
+    neighbour (lane l-1 for forward alpha, l+1 for backward beta) and is 0
+    at the wrap lane, so windowed steps need no explicit wrap masking.
+    """
+    lpad = e.shape[1]
+    shift = 1 if forward else lpad - 1
+    kill_lane = 0 if forward else lpad - 1
+    lane = _lane_iota(e.shape)
+
+    e_t = _true_exp(mants, e)
+    f = e_t
+    src = e_t
+    for _ in range(max_lag):
+        src = jnp.where(
+            lane == kill_lane, -_EBIG, _iroll(src, shift)
+        )
+        f = jnp.maximum(f, src)
+    # Rescale by the raw carry exponent (e_t folds the mantissa magnitude in
+    # and is only the right quantity for the frame max); f >= e_t >= e + ...
+    # keeps the result < 2^1, and lanes whose frame sits > 126 doublings
+    # above flush to exactly 0.
+    r = _pow2(e - f)
+    mants = [v * r for v in mants]
+    f_src = jnp.where(lane == kill_lane, -_EBIG, _iroll(f, shift))
+    s_arr = _pow2(f_src - f)
+    return mants, f, s_arr
+
+
+def _act_factor(fa, fb, ebi):
+    """Per-window act scale 2^(Fa + Fb - Ebi) (f32 exponent sum: the int
+    dead-lane markers would overflow int32)."""
+    s = fa.astype(jnp.float32) + fb.astype(jnp.float32) - ebi
+    return _pow2(jnp.clip(s, -127.0, 127.0).astype(jnp.int32))
+
+
+def _classic_win_step(a0, a1, blank, dc, pm, do, s_arr):
+    """One windowed forward step (classic_ctc_loss.py:415-451): pure f32."""
+    d = a0 * dc + a1 * do
+    arr = pltpu.roll(d, shift=1, axis=1) * s_arr
+    n0 = (a0 + a1) * blank
+    n1 = a1 * pm + arr
+    return n0, n1
+
+
+def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
+    """Windowed block-float alpha scan (classic_ctc_loss.py:379-451).
 
     Carry: mantissas (a0 closed, a1 open) [bb, Lpad] f32 + shared per-lane
-    exponent e [bb, Lpad] int32.  mode 'final' emits only the last carry;
-    mode 'bound' additionally emits the carry at each time-block boundary
-    (the checkpoint the backward kernel re-expands from).
+    exponent e [bb, Lpad] int32 (the frame of the last window).  mode
+    'final' emits only the last carry; mode 'bound' additionally emits the
+    carry at each time-block boundary (the checkpoint the backward kernel
+    re-expands from).
     """
+    n_win = block_t // k_win
 
     def kernel(blank_ref, dc_ref, pt_ref, nb_ref, rep_ref, *rest):
         if mode == "bound":
@@ -350,24 +397,25 @@ def _classic_fwd_kernel(mode: str, block_t: int):
             b1_ref[0, :, :] = a1_s[:]
             be_ref[0, :, :] = e_s[:]
 
-        def step(k, _):
-            blank = blank_ref[:, k, :]  # [bb, 1]
-            dc = dc_ref[:, k, :]  # [bb, Lpad]
-            pm = pt_ref[:, k, :] * nb_ref[:]
-            do = dc * rep_ref[:]
-            n0, n1, e_new = _classic_alpha_step(
-                a0_s[:], a1_s[:], e_s[:], blank, dc, pm, do
-            )
-            a0_s[:] = n0
-            a1_s[:] = n1
-            e_s[:] = e_new
-            return 0
+        def window(w, carry):
+            a0, a1, e = carry
+            (a0, a1), f, s_arr = _open_window([a0, a1], e, k_win, True)
+            for kk in range(k_win):
+                k = w * k_win + kk
+                blank = blank_ref[:, k, :]  # [bb, 1]
+                dc = dc_ref[:, k, :]  # [bb, Lpad]
+                pm = pt_ref[:, k, :] * nb_ref[:]
+                do = dc * rep_ref[:]
+                a0, a1 = _classic_win_step(a0, a1, blank, dc, pm, do, s_arr)
+            return a0, a1, f
 
+        carry = (a0_s[:], a1_s[:], e_s[:])
         if get_config().unroll:
-            for _k in range(block_t):
-                step(_k, 0)
+            for _w in range(n_win):
+                carry = window(_w, carry)
         else:
-            jax.lax.fori_loop(0, block_t, step, 0)
+            carry = jax.lax.fori_loop(0, n_win, window, carry)
+        a0_s[:], a1_s[:], e_s[:] = carry
 
         if mode == "final":
             f0_ref[:] = a0_s[:]
@@ -382,6 +430,13 @@ def _classic_fwd_kernel(mode: str, block_t: int):
                 fe_ref[:] = e_s[:]
 
     return kernel
+
+
+def _k_win(bt: int) -> int:
+    """Window length: largest divisor of bt not exceeding config.window."""
+    import math
+
+    return math.gcd(bt, max(1, get_config().window))
 
 
 def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
@@ -415,7 +470,7 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
         out_specs = (vec, vec, vec)
 
     return pl.pallas_call(
-        _classic_fwd_kernel(mode, bt),
+        _classic_fwd_kernel(mode, bt, _k_win(bt)),
         grid=grid,
         in_specs=[small, big, big, vec, vec],
         out_specs=out_specs,
@@ -494,31 +549,34 @@ def classic_loss_and_pack(ctx: CtcContext):
     return _classic_loss_and_pack_impl(ctx)
 
 
-def _classic_bwd_kernel(block_t: int):
-    """Fused residual-free backward kernel
+def _classic_bwd_kernel(block_t: int, k_win: int):
+    """Fused residual-free windowed backward kernel
     (classic_ctc_loss.py:349-364, 565-669).
 
     Phase 1 re-runs the forward recursion across the block from the
-    boundary carry, parking per-step alpha in VMEM scratch.  Phase 2 scans
-    beta backwards, emitting *loss-normalised posterior acts*:
+    boundary carry (identical windowed ops to the forward kernel, so the
+    re-expanded alpha is bit-identical), parking per-step alpha mantissas
+    and per-window frames in VMEM scratch.  Phase 2 scans beta backwards in
+    its own frozen-frame windows, emitting *loss-normalised posterior acts*:
 
-      ph  = a1 * pt * b1            * 2^(ae + eb - Ebi)   (repeat-horizontal)
-      pd  = (a0*dc + a1*do) * b1_r  * 2^(ae + eb_r - Ebi) (diagonal)
+      ph = a1 * pt * b1          * 2^(Fa + Fb - Ebi)
+      pd = (a0*dc + a1*do) * arr * 2^(Fa + Fb - Ebi)
 
-    with ``Ebi = floor(-loss/ln2)`` per sample — the acts are posteriors in
-    [0, 2], so a plain f32 output carries them exactly (entries below
-    ~1e-38 of the total path mass flush to zero gradient, the library-wide
-    relative contract).  Also emits beta[0] (mantissa + exponent), from
-    which the loss is recovered for free (``loss = -log(alpha[0].beta[0])``,
-    the invariant tested at test_classic_ctc_loss.py:146-167).
+    (``arr`` is the rolled beta already aligned into frame Fb) with
+    ``Ebi = floor(-loss/ln2)`` per sample — acts are posteriors, f32 with
+    no companion exponent tensor.  Also emits beta[0] (mantissa +
+    exponent), from which the loss is recovered for free
+    (``loss = -log(alpha[0].beta[0])``, the invariant of
+    test_classic_ctc_loss.py:146-167).
     """
+    n_win = block_t // k_win
 
     def kernel(
         init_ref, ebi_ref,
         blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
         bb0_ref, bb1_ref, bbe_ref,
         ph_ref, pd_ref, fin_ref, fe_ref,
-        sa0, sa1, sae, b0_s, b1_s, e_s,
+        sa0, sa1, saf, b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
 
@@ -529,77 +587,65 @@ def _classic_bwd_kernel(block_t: int):
             e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
         # ---- phase 1: re-expand alpha across the block (forward) ----------
-        def fwd_step(k, carry):
+        def fwd_window(w, carry):
             a0, a1, e = carry
-            sa0[:, k, :] = a0
-            sa1[:, k, :] = a1
-            sae[:, k, :] = e
-            blank = blank_ref[:, k, :]
-            dc = dc_ref[:, k, :]
-            pm = pt_ref[:, k, :] * nb_ref[:]
-            do = dc * rep_ref[:]
-            return _classic_alpha_step(a0, a1, e, blank, dc, pm, do)
+            (a0, a1), f, s_arr = _open_window([a0, a1], e, k_win, True)
+            saf[:, w, :] = f
+            for kk in range(k_win):
+                k = w * k_win + kk
+                sa0[:, k, :] = a0
+                sa1[:, k, :] = a1
+                blank = blank_ref[:, k, :]
+                dc = dc_ref[:, k, :]
+                pm = pt_ref[:, k, :] * nb_ref[:]
+                do = dc * rep_ref[:]
+                a0, a1 = _classic_win_step(a0, a1, blank, dc, pm, do, s_arr)
+            return a0, a1, f
 
-        carry0 = (bb0_ref[0, :, :], bb1_ref[0, :, :], bbe_ref[0, :, :])
+        carry = (bb0_ref[0, :, :], bb1_ref[0, :, :], bbe_ref[0, :, :])
         if get_config().unroll:
-            c = carry0
-            for _k in range(block_t):
-                c = fwd_step(_k, c)
+            for _w in range(n_win):
+                carry = fwd_window(_w, carry)
         else:
-            jax.lax.fori_loop(0, block_t, fwd_step, carry0)
+            jax.lax.fori_loop(0, n_win, fwd_window, carry)
 
-        # ---- phase 2: beta scan backwards, emitting normalised acts -------
+        # ---- phase 2: beta windows backwards, emitting normalised acts ----
         ebi = ebi_ref[:]  # [bb, 1] f32
+        lpad = b1_s.shape[1]
 
-        def bwd_step(kk, _):
-            k = block_t - 1 - kk
-            blank = blank_ref[:, k, :]
-            dc = dc_ref[:, k, :]
-            pt = pt_ref[:, k, :]
-            pm = pt * nb_ref[:]
-            do = dc * rep_ref[:]
-            a0 = sa0[:, k, :]
-            a1 = sa1[:, k, :]
-            ae = sae[:, k, :]
-            b0 = b0_s[:]  # beta[t+1]
-            b1 = b1_s[:]
-            eb = e_s[:]
-            lpad = b1.shape[1]
+        def bwd_window(wr, carry):
+            w = n_win - 1 - wr
+            b0, b1, eb = carry
+            (b0, b1), fb, s_arr = _open_window([b0, b1], eb, k_win, False)
+            s_act = _act_factor(saf[:, w, :], fb, ebi)
+            for kk in range(k_win - 1, -1, -1):
+                k = w * k_win + kk
+                blank = blank_ref[:, k, :]
+                dc = dc_ref[:, k, :]
+                pt = pt_ref[:, k, :]
+                pm = pt * nb_ref[:]
+                do = dc * rep_ref[:]
+                a0 = sa0[:, k, :]
+                a1 = sa1[:, k, :]
 
-            b1_r = pltpu.roll(b1, shift=lpad - 1, axis=1)  # lane l+1 -> l
-            eb_r = _iroll(eb, lpad - 1)
-            lane = _lane_iota(eb_r.shape)
-            eb_r = jnp.where(lane == lpad - 1, -_EBIG, eb_r)
+                arr = pltpu.roll(b1, shift=lpad - 1, axis=1) * s_arr
+                d = a0 * dc + a1 * do
+                ph_ref[:, k, :] = (a1 * pt * b1) * s_act
+                pd_ref[:, k, :] = d * arr * s_act
 
-            # normalised posterior acts at time t; the blank column is
-            # recovered in XLA from the posterior identity
-            ph_ref[:, k, :] = _posterior_scale(a1 * pt * b1, ae, eb, ebi)
-            pd_ref[:, k, :] = _posterior_scale(
-                (a0 * dc + a1 * do) * b1_r, ae, eb_r, ebi
-            )
+                hc = blank * b0
+                n0 = hc + dc * arr
+                n1 = hc + pm * b1 + do * arr
+                b0, b1 = n0, n1
+            return b0, b1, fb
 
-            # ---- beta step -> beta[t] ------------------------------------
-            eb_eff = jnp.where(jnp.maximum(b0, b1) > 0.0, eb, -_EBIG)
-            eb_r_eff = jnp.where(b1_r > 0.0, eb_r, -_EBIG)
-            et = jnp.maximum(eb_eff, eb_r_eff)
-            sb = _pow2_nonpos(eb_eff - et)
-            sd = _pow2_nonpos(eb_r_eff - et)
-            hc = (blank * b0) * sb
-            ho = hc + (pm * b1) * sb
-            b1n = b1_r * sd
-            n0 = hc + dc * b1n
-            n1 = ho + do * b1n
-            (n0, n1), e_new = _renorm([n0, n1], et)
-            b0_s[:] = n0
-            b1_s[:] = n1
-            e_s[:] = e_new
-            return 0
-
+        carry = (b0_s[:], b1_s[:], e_s[:])
         if get_config().unroll:
-            for _k in range(block_t):
-                bwd_step(_k, 0)
+            for _wr in range(n_win):
+                carry = bwd_window(_wr, carry)
         else:
-            jax.lax.fori_loop(0, block_t, bwd_step, 0)
+            carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
+        b0_s[:], b1_s[:], e_s[:] = carry
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -627,8 +673,9 @@ def _classic_bwd_call(
     bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
 
     big3 = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
+    kw = _k_win(bt)
     return pl.pallas_call(
-        _classic_bwd_kernel(bt),
+        _classic_bwd_kernel(bt, kw),
         grid=grid,
         in_specs=[vec, svec, small, big, big, vec, vec, bound, bound, bound],
         out_specs=(big, big, vec, vec),
@@ -640,7 +687,7 @@ def _classic_bwd_call(
         scratch_shapes=[
             pltpu.VMEM((bb, bt, lpad), jnp.float32),
             pltpu.VMEM((bb, bt, lpad), jnp.float32),
-            pltpu.VMEM((bb, bt, lpad), jnp.int32),
+            pltpu.VMEM((bb, bt // kw, lpad), jnp.int32),
             pltpu.VMEM((bb, lpad), jnp.float32),
             pltpu.VMEM((bb, lpad), jnp.float32),
             pltpu.VMEM((bb, lpad), jnp.int32),
@@ -753,24 +800,17 @@ def classic_gradient_log(ctx: CtcContext, loss=None) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _simplified_alpha_step(a, e, blank, dg):
-    """One forward block-float step on the single-state carry
+def _simplified_win_step(a, blank, dg, s_arr):
+    """One windowed forward step on the single-state carry
+    (simplified_ctc_loss.py:358-438): pure f32."""
+    arr = pltpu.roll(a * dg, shift=1, axis=1) * s_arr
+    return a * blank + arr
+
+
+def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
+    """Windowed block-float single-state alpha scan
     (simplified_ctc_loss.py:358-438)."""
-    d = a * dg
-    e_eff = jnp.where(a > 0.0, e, -_EBIG)
-    d_r = pltpu.roll(d, shift=1, axis=1)
-    e_r = _iroll(jnp.where(d > 0.0, e_eff, -_EBIG), 1)
-    lane = _lane_iota(e_r.shape)
-    e_r = jnp.where(lane == 0, -_EBIG, e_r)
-
-    et = jnp.maximum(e_eff, e_r)
-    n = (a * blank) * _pow2_nonpos(e_eff - et) + d_r * _pow2_nonpos(e_r - et)
-    (n,), e_new = _renorm([n], et)
-    return n, e_new
-
-
-def _simplified_fwd_kernel(mode: str, block_t: int):
-    """Block-float single-state alpha scan (simplified_ctc_loss.py:358-438)."""
+    n_win = block_t // k_win
 
     def kernel(blank_ref, dg_ref, *rest):
         if mode == "bound":
@@ -789,19 +829,24 @@ def _simplified_fwd_kernel(mode: str, block_t: int):
             b_ref[0, :, :] = a_s[:]
             be_ref[0, :, :] = e_s[:]
 
-        def step(k, _):
-            n, e_new = _simplified_alpha_step(
-                a_s[:], e_s[:], blank_ref[:, k, :], dg_ref[:, k, :]
-            )
-            a_s[:] = n
-            e_s[:] = e_new
-            return 0
+        def window(w, carry):
+            a, e = carry
+            (a,), f, s_arr = _open_window([a], e, k_win, True)
+            for kk in range(k_win):
+                k = w * k_win + kk
+                a = _simplified_win_step(
+                    a, blank_ref[:, k, :], dg_ref[:, k, :], s_arr
+                )
+            return a, f
 
+        carry = (a_s[:], e_s[:])
         if get_config().unroll:
-            for _k in range(block_t):
-                step(_k, 0)
+            for _w in range(n_win):
+                carry = window(_w, carry)
         else:
-            jax.lax.fori_loop(0, block_t, step, 0)
+            carry = jax.lax.fori_loop(0, n_win, window, carry)
+        a_s[:], e_s[:] = carry
+
         if mode == "final":
             f_ref[:] = a_s[:]
             fe_ref[:] = e_s[:]
@@ -841,7 +886,7 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
         out_specs = (vec, vec)
 
     return pl.pallas_call(
-        _simplified_fwd_kernel(mode, bt),
+        _simplified_fwd_kernel(mode, bt, _k_win(bt)),
         grid=grid,
         in_specs=[small, big],
         out_specs=out_specs,
@@ -923,10 +968,13 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
     svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
     bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
 
+    kw = _k_win(bt)
+    n_win = bt // kw
+
     def kernel(
         init_ref, ebi_ref, blank_ref, dg_ref, bb_ref, bbe_ref,
         pd_ref, fin_ref, fe_ref,
-        sa, sae, b_s, e_s,
+        sa, saf, b_s, e_s,
     ):
         j = pl.program_id(1)
 
@@ -935,61 +983,56 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
             b_s[:] = init_ref[:]
             e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
 
-        # phase 1: re-expand alpha across the block
-        def fwd_step(k, carry):
+        # phase 1: re-expand alpha across the block (windowed, identical
+        # ops to the forward kernel)
+        def fwd_window(w, carry):
             a, e = carry
-            sa[:, k, :] = a
-            sae[:, k, :] = e
-            return _simplified_alpha_step(
-                a, e, blank_ref[:, k, :], dg_ref[:, k, :]
-            )
+            (a,), f, s_arr = _open_window([a], e, kw, True)
+            saf[:, w, :] = f
+            for kk in range(kw):
+                k = w * kw + kk
+                sa[:, k, :] = a
+                a = _simplified_win_step(
+                    a, blank_ref[:, k, :], dg_ref[:, k, :], s_arr
+                )
+            return a, f
 
-        carry0 = (bb_ref[0, :, :], bbe_ref[0, :, :])
+        carry = (bb_ref[0, :, :], bbe_ref[0, :, :])
         if get_config().unroll:
-            c = carry0
-            for _k in range(bt):
-                c = fwd_step(_k, c)
+            for _w in range(n_win):
+                carry = fwd_window(_w, carry)
         else:
-            jax.lax.fori_loop(0, bt, fwd_step, carry0)
+            jax.lax.fori_loop(0, n_win, fwd_window, carry)
 
+        # phase 2: beta windows backwards (simplified_ctc_loss.py:291-343)
         ebi = ebi_ref[:]
+        lpad_ = b_s.shape[1]
 
-        def bwd_step(kk, _):
-            k = bt - 1 - kk
-            blank = blank_ref[:, k, :]
-            dg = dg_ref[:, k, :]
-            a = sa[:, k, :]
-            ea = sae[:, k, :]
-            b = b_s[:]
-            eb = e_s[:]
-            lpad_ = b.shape[1]
+        def bwd_window(wr, carry):
+            w = n_win - 1 - wr
+            b, eb = carry
+            (b,), fb, s_arr = _open_window([b], eb, kw, False)
+            s_act = _act_factor(saf[:, w, :], fb, ebi)
+            for kk in range(kw - 1, -1, -1):
+                k = w * kw + kk
+                blank = blank_ref[:, k, :]
+                dg = dg_ref[:, k, :]
+                a = sa[:, k, :]
 
-            b_r = pltpu.roll(b, shift=lpad_ - 1, axis=1)
-            eb_r = _iroll(eb, lpad_ - 1)
-            lane = _lane_iota(eb_r.shape)
-            eb_r = jnp.where(lane == lpad_ - 1, -_EBIG, eb_r)
+                arr = pltpu.roll(b, shift=lpad_ - 1, axis=1) * s_arr
+                # normalised posterior act (simplified_ctc_loss.py:456-534);
+                # blank column recovered in XLA from the posterior identity
+                pd_ref[:, k, :] = (a * dg) * arr * s_act
+                b = blank * b + dg * arr
+            return b, fb
 
-            # normalised posterior act (simplified_ctc_loss.py:456-534);
-            # blank column recovered in XLA from the posterior identity
-            pd_ref[:, k, :] = _posterior_scale((a * dg) * b_r, ea, eb_r, ebi)
-
-            # beta step (simplified_ctc_loss.py:291-343)
-            eb_eff = jnp.where(b > 0.0, eb, -_EBIG)
-            eb_r_eff = jnp.where(b_r > 0.0, eb_r, -_EBIG)
-            et = jnp.maximum(eb_eff, eb_r_eff)
-            n = (blank * b) * _pow2_nonpos(eb_eff - et) + (
-                dg * b_r
-            ) * _pow2_nonpos(eb_r_eff - et)
-            (n,), e_new = _renorm([n], et)
-            b_s[:] = n
-            e_s[:] = e_new
-            return 0
-
+        carry = (b_s[:], e_s[:])
         if get_config().unroll:
-            for _k in range(bt):
-                bwd_step(_k, 0)
+            for _wr in range(n_win):
+                carry = bwd_window(_wr, carry)
         else:
-            jax.lax.fori_loop(0, bt, bwd_step, 0)
+            carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
+        b_s[:], e_s[:] = carry
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -1009,7 +1052,7 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
         ),
         scratch_shapes=[
             pltpu.VMEM((bb, bt, lpad), jnp.float32),
-            pltpu.VMEM((bb, bt, lpad), jnp.int32),
+            pltpu.VMEM((bb, bt // kw, lpad), jnp.int32),
             pltpu.VMEM((bb, lpad), jnp.float32),
             pltpu.VMEM((bb, lpad), jnp.int32),
         ],

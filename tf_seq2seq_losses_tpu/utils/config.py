@@ -28,6 +28,14 @@ class KernelConfig:
     # Unroll the per-block time loop inside kernels (static VMEM indices;
     # larger code, less per-step scalar/loop overhead).
     unroll: bool = True
+    # Frozen-frame window length: per-lane exponent renormalisation and
+    # roll-alignment factors are recomputed every `window` steps instead of
+    # every step (the steps in between are plain f32 FMAs).  Larger windows
+    # amortise the block-float machinery further but tighten the underflow
+    # contract: a lane flushes if it falls 2^-126 below the running maximum
+    # of its `window`-lane neighbourhood within one window (vs the same
+    # lattice point per-step at window=1).
+    window: int = 8
     # Runtime saturation guard (ops/topology.py): reroute to the exact
     # log-space path when a feasible sample's fast loss is non-finite
     # (logits saturated beyond float32 range, e.g. +-1e10 stability tests).
@@ -56,6 +64,7 @@ def _env_default() -> KernelConfig:
     cfg.block_time = int(os.environ.get("CTC_TPU_BLOCK_TIME", cfg.block_time))
     if os.environ.get("CTC_TPU_UNROLL") in ("0", "false", "False"):
         cfg.unroll = False
+    cfg.window = int(os.environ.get("CTC_TPU_WINDOW", cfg.window))
     if os.environ.get("CTC_TPU_GUARD") in ("0", "false", "False"):
         cfg.guard = False
     return cfg
