@@ -27,6 +27,7 @@ import numpy as np
 
 from tf_seq2seq_losses_tpu.ops.core import (
     CtcContext,
+    expected_token_lp as core_expected_token_lp,
     select_from_act,
     take_token_logprobas,
 )
@@ -64,7 +65,7 @@ def terms(ctx: CtcContext) -> ClassicTerms:
     # expected-token log-prob; open->open additionally requires the token to
     # differ from its predecessor.
     repetition_ok = ctx.label != jnp.roll(ctx.label, shift=1, axis=1)
-    diag_closed = ctx.expected_token_lp
+    diag_closed = core_expected_token_lp(ctx)
     diag_open = apply_logarithmic_mask(diag_closed, repetition_ok[:, None, :])
 
     return ClassicTerms(

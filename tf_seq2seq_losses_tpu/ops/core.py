@@ -56,7 +56,6 @@ class CtcContext(NamedTuple):
     label_length_mask: Array  # [B, Lp1] bool, True for l < label_length
     logit_length_mask: Array  # [B, T] bool, True for t < logit_length
     blank_lp: Array  # [B, T] log-prob of blank
-    expected_token_lp: Array  # [B, Lp1] masked gather of label tokens -> [B, T, Lp1]
     onehot_label: Array  # [B, Lp1, V] float32 indicator label[b,l] == k
     onehot_preceded: Array  # [B, Lp1, V] float32 indicator preceded[b,l] == k
 
@@ -129,12 +128,6 @@ def make_context(
     onehot_preceded = (preceded[:, :, None] == token_ids).astype(jnp.float32)
 
     blank_lp = take_blank_logproba(logproba, blank)
-    # Expected-token log-prob, -inf past label_length
-    # (reference: base_loss.py:328-344).
-    label_lp = take_token_logprobas(logproba, onehot_label)
-    expected_token_lp = apply_logarithmic_mask(
-        label_lp, label_length_mask[:, None, :]
-    )
 
     return CtcContext(
         logproba=logproba,
@@ -147,9 +140,23 @@ def make_context(
         label_length_mask=label_length_mask,
         logit_length_mask=logit_length_mask,
         blank_lp=blank_lp,
-        expected_token_lp=expected_token_lp,
         onehot_label=onehot_label,
         onehot_preceded=onehot_preceded,
+    )
+
+
+def expected_token_lp(ctx: CtcContext) -> Array:
+    """Expected-token log-probs [B, T, Lp1], -inf past label_length
+    (reference: base_loss.py:328-344).
+
+    Computed lazily (NOT in :func:`make_context`): it is an O(B*T*L) tensor
+    used only by the pure lax.scan path; the Pallas path derives its
+    probability-space analogue chunk-wise, and materialising it eagerly
+    capped the long-sequence envelope (7.6 GB at B=256, T=4000).
+    """
+    label_lp = take_token_logprobas(ctx.logproba, ctx.onehot_label)
+    return apply_logarithmic_mask(
+        label_lp, ctx.label_length_mask[:, None, :]
     )
 
 

@@ -124,12 +124,24 @@ def _fit_blocks(
 _NBUF_GRAD = 8
 
 
+def _chunk_plan(num_t: int, bt: int):
+    """(n_chunks, chunk_t, tpad): split the padded time axis into equal
+    bt-aligned chunks no longer than ``config.chunk_time`` (the long-T
+    memory cap: [B, T, L] tensors only ever materialise chunk-wide)."""
+    tpad0 = _round_up(max(num_t, 1), bt)
+    cmax = max(bt, _round_up(get_config().chunk_time, bt))
+    n_chunks = -(-tpad0 // cmax)
+    n_tb_c = -(-(tpad0 // bt) // n_chunks)
+    chunk_t = n_tb_c * bt
+    return n_chunks, chunk_t, chunk_t * n_chunks
+
+
 def _grad_geometry(batch: int, num_t: int, lp1: int):
     lpad = _round_up(lp1, 128)
     bb, bt = _fit_blocks(lpad, _NBUF_GRAD, num_t, batch)
     bpad = _round_up(batch, bb)
-    tpad = _round_up(num_t, bt)
-    return bpad, tpad, lpad, bb, bt
+    n_chunks, chunk_t, tpad = _chunk_plan(num_t, bt)
+    return bpad, tpad, lpad, bb, bt, n_chunks, chunk_t
 
 
 # ---------------------------------------------------------------------------
@@ -220,14 +232,10 @@ def _pad_mask(mask: Array, bpad: int, lpad: int):
     )
 
 
-def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
-    """(blank, dc, pt, nb_mask, rep_mask, onehot_label_p, onehot_prec_p).
-
-    dc = expected-token probability (length-masked), pt = preceded-token
-    probability; the kernel derives ``pm = pt * nb_mask`` (repeat-horizontal,
-    blank excluded — classic_ctc_loss.py:528-543) and ``do = dc * rep_mask``
-    (repetition-masked diagonal — classic_ctc_loss.py:465-501) on the fly.
-    """
+def _classic_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
+    """Full-T small tensors and per-sample matrices for the transition prep:
+    (probs [bpad,tpad,V], blank [bpad,tpad,1], oh_label_masked, oh_prec,
+    nb_mask, rep_mask)."""
     num_tokens = ctx.logproba.shape[2]
     probs, blank = _padded_probs(ctx, bpad, tpad)
     oh_label = _padded_onehot(ctx.label, num_tokens, bpad, lpad)
@@ -236,6 +244,21 @@ def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
     oh_label_masked = oh_label * _pad_mask(ctx.label_length_mask, bpad, lpad)[
         :, :, None
     ]
+    nb_mask = _pad_mask(
+        ctx.preceded_label != ctx.blank_index, bpad, lpad
+    )
+    rep_mask = _pad_mask(
+        ctx.label != jnp.roll(ctx.label, shift=1, axis=1), bpad, lpad
+    )
+    return probs, blank, oh_label_masked, oh_prec, nb_mask, rep_mask
+
+
+def _classic_chunk_transitions(probs, oh_label_masked, oh_prec):
+    """(dc, pt) for a probability span: dc = expected-token probability
+    (length-masked), pt = preceded-token probability; the kernel derives
+    ``pm = pt * nb_mask`` (repeat-horizontal, blank excluded —
+    classic_ctc_loss.py:528-543) and ``do = dc * rep_mask``
+    (repetition-masked diagonal — classic_ctc_loss.py:465-501) on the fly."""
     dc = jnp.einsum(
         "btv,blv->btl", probs, oh_label_masked,
         precision=jax.lax.Precision.HIGHEST,
@@ -244,28 +267,41 @@ def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
         "btv,blv->btl", probs, oh_prec,
         precision=jax.lax.Precision.HIGHEST,
     )
-    nb_mask = _pad_mask(
-        ctx.preceded_label != ctx.blank_index, bpad, lpad
-    )
-    rep_mask = _pad_mask(
-        ctx.label != jnp.roll(ctx.label, shift=1, axis=1), bpad, lpad
-    )
-    return blank, dc, pt, nb_mask, rep_mask, oh_label_masked, oh_prec
+    return dc, pt
 
 
-def _simplified_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
-    """(blank, diag, onehot_label_p) for the single-state lattice."""
+def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
+    """(blank, dc, pt, nb_mask, rep_mask, onehot_label_p, onehot_prec_p)
+    with full-T transition tensors (the single-chunk path)."""
+    probs, blank, ohlm, ohp, nb_mask, rep_mask = _classic_gather_level(
+        ctx, bpad, tpad, lpad
+    )
+    dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+    return blank, dc, pt, nb_mask, rep_mask, ohlm, ohp
+
+
+def _simplified_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
+    """(probs, blank, oh_label_masked) for the single-state lattice."""
     num_tokens = ctx.logproba.shape[2]
     probs, blank = _padded_probs(ctx, bpad, tpad)
     oh_label = _padded_onehot(ctx.label, num_tokens, bpad, lpad)
     oh_label_masked = oh_label * _pad_mask(ctx.label_length_mask, bpad, lpad)[
         :, :, None
     ]
-    diag = jnp.einsum(
+    return probs, blank, oh_label_masked
+
+
+def _simplified_chunk_transitions(probs, oh_label_masked):
+    return jnp.einsum(
         "btv,blv->btl", probs, oh_label_masked,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return blank, diag, oh_label_masked
+
+
+def _simplified_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
+    """(blank, diag, onehot_label_p) with the full-T transition tensor."""
+    probs, blank, ohlm = _simplified_gather_level(ctx, bpad, tpad, lpad)
+    return blank, _simplified_chunk_transitions(probs, ohlm), ohlm
 
 
 def _ebi_from_loss(loss: Array, bpad: int) -> Array:
@@ -377,7 +413,8 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
     """
     n_win = block_t // k_win
 
-    def kernel(blank_ref, dc_ref, pt_ref, nb_ref, rep_ref, *rest):
+    def kernel(i0_ref, i1_ref, ie_ref, blank_ref, dc_ref, pt_ref, nb_ref,
+               rep_ref, *rest):
         if mode == "bound":
             b0_ref, b1_ref, be_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         else:
@@ -386,10 +423,9 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
 
         @pl.when(j == 0)
         def _():
-            lane = _lane_iota(a0_s.shape)
-            a0_s[:] = jnp.where(lane == 0, 1.0, 0.0)
-            a1_s[:] = jnp.zeros(a1_s.shape, jnp.float32)
-            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
+            a0_s[:] = i0_ref[:]
+            a1_s[:] = i1_ref[:]
+            e_s[:] = ie_ref[:]
 
         if mode == "bound":
             # carry entering this block == boundary checkpoint
@@ -439,9 +475,21 @@ def _k_win(bt: int) -> int:
     return math.gcd(bt, max(1, get_config().window))
 
 
-def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
+def _alpha_init(bpad: int, lpad: int):
+    """Standard t=0 carry: unit mass at lattice position 0, closed state."""
+    lane = _lane_iota((bpad, lpad))
+    return (
+        jnp.where(lane == 0, 1.0, 0.0).astype(jnp.float32),
+        jnp.zeros((bpad, lpad), jnp.float32),
+        jnp.zeros((bpad, lpad), jnp.int32),
+    )
+
+
+def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt, init=None):
     cfg = get_config()
     bpad, tpad, lpad = dc.shape
+    if init is None:
+        init = _alpha_init(bpad, lpad)
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
@@ -472,7 +520,7 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
     return pl.pallas_call(
         _classic_fwd_kernel(mode, bt, _k_win(bt)),
         grid=grid,
-        in_specs=[small, big, big, vec, vec],
+        in_specs=[vec, vec, vec, small, big, big, vec, vec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -484,7 +532,7 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(blank, dc, pt, nb, rep)
+    )(init[0], init[1], init[2], blank, dc, pt, nb, rep)
 
 
 def _pick_loss(f0, f1, fe, ctx, batch, lp1):
@@ -495,6 +543,43 @@ def _pick_loss(f0, f1, fe, ctx, batch, lp1):
     return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
 
 
+def _classic_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
+                      emit_checkpoints):
+    """Forward pass as a chunk scan; returns (final carry, chunk-initial
+    checkpoints or None).  n_chunks == 1 short-circuits to a single call."""
+    probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
+        ctx, bpad, tpad, lpad
+    )
+    if n_chunks == 1:
+        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        if emit_checkpoints:
+            b0, b1, be, f0, f1, fe = _classic_fwd_call(
+                blank, dc, pt, nb, rep, mode="bound", bb=bb, bt=bt
+            )
+            return (f0, f1, fe), (b0, b1, be)
+        return _classic_fwd_call(
+            blank, dc, pt, nb, rep, mode="final", bb=bb, bt=bt
+        ), None
+
+    num_v = probs.shape[2]
+
+    def body(carry, c):
+        t0 = c * chunk_t
+        probs_c = jax.lax.dynamic_slice(
+            probs, (0, t0, 0), (bpad, chunk_t, num_v)
+        )
+        blank_c = jax.lax.dynamic_slice(blank, (0, t0, 0), (bpad, chunk_t, 1))
+        dc, pt = _classic_chunk_transitions(probs_c, ohlm, ohp)
+        fin = _classic_fwd_call(
+            blank_c, dc, pt, nb, rep, mode="final", init=carry, bb=bb, bt=bt
+        )
+        return fin, (carry if emit_checkpoints else None)
+
+    init = _alpha_init(bpad, lpad)
+    final, cks = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return final, cks
+
+
 @jax.jit
 def _classic_loss_fast_impl(ctx: CtcContext):
     batch, num_t, _ = ctx.logproba.shape
@@ -502,9 +587,10 @@ def _classic_loss_fast_impl(ctx: CtcContext):
     lpad = _round_up(lp1, 128)
     bb, bt = _fit_blocks(lpad, num_big_buffers=5, num_t=num_t, batch=batch)
     bpad = _round_up(batch, bb)
-    tpad = _round_up(num_t, bt)
-    blank, dc, pt, nb, rep, _, _ = _classic_padded_inputs(ctx, bpad, tpad, lpad)
-    f0, f1, fe = _classic_fwd_call(blank, dc, pt, nb, rep, mode="final", bb=bb, bt=bt)
+    n_chunks, chunk_t, tpad = _chunk_plan(num_t, bt)
+    (f0, f1, fe), _ = _classic_fwd_scan(
+        ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, False
+    )
     return _pick_loss(f0, f1, fe, ctx, batch, lp1)
 
 
@@ -533,13 +619,17 @@ def _classic_loss_and_pack_impl(ctx: CtcContext):
     """
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
-    blank, dc, pt, nb, rep, _, _ = _classic_padded_inputs(ctx, bpad, tpad, lpad)
-    b0, b1, be, f0, f1, fe = _classic_fwd_call(
-        blank, dc, pt, nb, rep, mode="bound", bb=bb, bt=bt
+    bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
+        batch, num_t, lp1
+    )
+    (f0, f1, fe), cks = _classic_fwd_scan(
+        ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
     )
     loss = _pick_loss(f0, f1, fe, ctx, batch, lp1)
-    return loss, (b0, b1, be, loss)
+    # single-chunk: cks = per-block boundaries; chunked: cks = per-chunk
+    # initial carries [n_chunks, bpad, lpad] x3 (the consumer recomputes the
+    # same deterministic plan and branches identically)
+    return loss, (cks[0], cks[1], cks[2], loss)
 
 
 def classic_loss_and_pack(ctx: CtcContext):
@@ -572,19 +662,19 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
     n_win = block_t // k_win
 
     def kernel(
-        init_ref, ebi_ref,
+        bi0_ref, bi1_ref, bie_ref, ebi_ref,
         blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
         bb0_ref, bb1_ref, bbe_ref,
-        ph_ref, pd_ref, fin_ref, fe_ref,
+        ph_ref, pd_ref, f0_ref, f1_ref, fe_ref,
         sa0, sa1, saf, b0_s, b1_s, e_s,
     ):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            b0_s[:] = init_ref[:]
-            b1_s[:] = init_ref[:]
-            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
+            b0_s[:] = bi0_ref[:]
+            b1_s[:] = bi1_ref[:]
+            e_s[:] = bie_ref[:]
 
         # ---- phase 1: re-expand alpha across the block (forward) ----------
         def fwd_window(w, carry):
@@ -649,19 +739,32 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
-            # beta[0]: loss = -log(alpha[0] . beta[0]) = -(log b0[l=0] + e*ln2)
-            fin_ref[:] = b0_s[:]
-            fe_ref[:] = e_s[:].astype(jnp.float32)
+            # full beta carry: chunked callers chain it; at the true t=0,
+            # loss = -log(alpha[0] . beta[0]) = -(log b0[l=0] + e*ln2)
+            f0_ref[:] = b0_s[:]
+            f1_ref[:] = b1_s[:]
+            fe_ref[:] = e_s[:]
 
     return kernel
 
 
+def _beta_init(ctx: CtcContext, bpad: int, lpad: int):
+    """Standard t=T beta carry: one-hot at label_length over both states
+    (classic_ctc_loss.py:366-377)."""
+    batch = ctx.label_length.shape[0]
+    lane_hot = (
+        _lane_iota((bpad, lpad))
+        == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
+    ).astype(jnp.float32)
+    return lane_hot, lane_hot, jnp.zeros((bpad, lpad), jnp.int32)
+
+
 def _classic_bwd_call(
-    blank, dc, pt, nb, rep, bnd0, bnd1, bnde, init_lane, ebi, *, bb, bt
+    blank, dc, pt, nb, rep, bnd0, bnd1, bnde, beta_init, ebi, *, bb, bt
 ):
-    """init_lane: [bpad, lpad] f32 one-hot at label_length (beta init for
-    both states, classic_ctc_loss.py:366-377); ebi: [bpad, 1] f32 act
-    normaliser; bnd*: [bpad, n_tb, lpad] boundary carries."""
+    """beta_init: (b0, b1, e) [bpad, lpad] carry at the end of this span;
+    ebi: [bpad, 1] f32 act normaliser; bnd*: [n_tb, bpad, lpad] boundary
+    carries.  Returns (ph, pd, beta-final b0/b1/e)."""
     cfg = get_config()
     bpad, tpad, lpad = dc.shape
     n_tb = tpad // bt
@@ -677,12 +780,14 @@ def _classic_bwd_call(
     return pl.pallas_call(
         _classic_bwd_kernel(bt, kw),
         grid=grid,
-        in_specs=[vec, svec, small, big, big, vec, vec, bound, bound, bound],
-        out_specs=(big, big, vec, vec),
+        in_specs=[vec, vec, vec, svec, small, big, big, vec, vec,
+                  bound, bound, bound],
+        out_specs=(big, big, vec, vec, vec),
         out_shape=(
             big3, big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bb, bt, lpad), jnp.float32),
@@ -696,7 +801,8 @@ def _classic_bwd_call(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(init_lane, ebi, blank, dc, pt, nb, rep, bnd0, bnd1, bnde)
+    )(beta_init[0], beta_init[1], beta_init[2], ebi,
+      blank, dc, pt, nb, rep, bnd0, bnd1, bnde)
 
 
 def _assemble_with_blank_identity(
@@ -728,32 +834,70 @@ def _assemble_with_blank_identity(
 def _classic_grad_impl(ctx: CtcContext, pack):
     """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels.
 
-    ``pack = (bnd0, bnd1, bnde, loss)``: boundary alpha carries + loss from
-    the forward pass (same deterministic block geometry).
+    ``pack = (cks0, cks1, ckse, loss)``: forward-pass checkpoints + loss.
+    Single-chunk: per-block boundary carries [n_tb, bpad, lpad]; chunked:
+    per-chunk initial carries [n_chunks, bpad, lpad] (the chunk scan
+    regenerates block boundaries per chunk with one extra forward kernel).
     """
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
+    bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
+        batch, num_t, lp1
+    )
 
-    blank, dc, pt, nb, rep, oh_label, oh_prec = _classic_padded_inputs(
+    ck0, ck1, cke, loss = pack
+    ebi = _ebi_from_loss(loss, bpad)
+    beta0 = _beta_init(ctx, bpad, lpad)
+    probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
         ctx, bpad, tpad, lpad
     )
-    bnd0, bnd1, bnde, loss = pack
-    init_lane = (
-        _lane_iota((bpad, lpad))
-        == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
-    ).astype(jnp.float32)
-    ebi = _ebi_from_loss(loss, bpad)
-    ph, pd, fin, fe = _classic_bwd_call(
-        blank, dc, pt, nb, rep, bnd0, bnd1, bnde, init_lane, ebi, bb=bb, bt=bt
-    )
-    fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
 
-    # scatter the posterior acts into token bins on the MXU
-    sums = jnp.einsum(
-        "btl,blv->btv", ph, oh_prec, precision=jax.lax.Precision.HIGHEST
-    ) + jnp.einsum(
-        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
+    def scatter(ph, pd):
+        return jnp.einsum(
+            "btl,blv->btv", ph, ohp, precision=jax.lax.Precision.HIGHEST
+        ) + jnp.einsum(
+            "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGHEST
+        )
+
+    if n_chunks == 1:
+        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        ph, pd, f0, _f1, fe = _classic_bwd_call(
+            blank, dc, pt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
+        )
+        sums = scatter(ph, pd)
+    else:
+        num_v = probs.shape[2]
+
+        def body(carry, c):
+            cr = n_chunks - 1 - c
+            t0 = cr * chunk_t
+            probs_c = jax.lax.dynamic_slice(
+                probs, (0, t0, 0), (bpad, chunk_t, num_v)
+            )
+            blank_c = jax.lax.dynamic_slice(
+                blank, (0, t0, 0), (bpad, chunk_t, 1)
+            )
+            dc, pt = _classic_chunk_transitions(probs_c, ohlm, ohp)
+            b0c, b1c, bec, _, _, _ = _classic_fwd_call(
+                blank_c, dc, pt, nb, rep, mode="bound",
+                init=(ck0[cr], ck1[cr], cke[cr]), bb=bb, bt=bt,
+            )
+            ph, pd, fb0, fb1, fbe = _classic_bwd_call(
+                blank_c, dc, pt, nb, rep, b0c, b1c, bec, carry, ebi,
+                bb=bb, bt=bt,
+            )
+            return (fb0, fb1, fbe), scatter(ph, pd)
+
+        (f0, _f1, fe), sums_rev = jax.lax.scan(
+            body, beta0, jnp.arange(n_chunks)
+        )
+        # chunks were processed last-to-first; restore time order
+        sums = jnp.moveaxis(jnp.flip(sums_rev, axis=0), 0, 1).reshape(
+            bpad, tpad, num_v
+        )
+
+    fast_loss = -(
+        jnp.log(f0[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
     )
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     return _assemble_with_blank_identity(
@@ -812,7 +956,7 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
     (simplified_ctc_loss.py:358-438)."""
     n_win = block_t // k_win
 
-    def kernel(blank_ref, dg_ref, *rest):
+    def kernel(i0_ref, ie_ref, blank_ref, dg_ref, *rest):
         if mode == "bound":
             b_ref, be_ref, f_ref, fe_ref, a_s, e_s = rest
         else:
@@ -821,9 +965,8 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
 
         @pl.when(j == 0)
         def _():
-            lane = _lane_iota(a_s.shape)
-            a_s[:] = jnp.where(lane == 0, 1.0, 0.0)
-            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
+            a_s[:] = i0_ref[:]
+            e_s[:] = ie_ref[:]
 
         if mode == "bound":
             b_ref[0, :, :] = a_s[:]
@@ -860,9 +1003,12 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
     return kernel
 
 
-def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
+def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None):
     cfg = get_config()
     bpad, tpad, lpad = dg.shape
+    if init is None:
+        a0, _, e0 = _alpha_init(bpad, lpad)
+        init = (a0, e0)
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
@@ -888,7 +1034,7 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
     return pl.pallas_call(
         _simplified_fwd_kernel(mode, bt, _k_win(bt)),
         grid=grid,
-        in_specs=[small, big],
+        in_specs=[vec, vec, small, big],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -899,7 +1045,7 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(blank, dg)
+    )(init[0], init[1], blank, dg)
 
 
 def _pick_loss_single(fin, fe, ctx, batch, lp1):
@@ -912,6 +1058,40 @@ def _pick_loss_single(fin, fe, ctx, batch, lp1):
     return -(jnp.log(picked) + picked_e.astype(jnp.float32) * LN2)
 
 
+def _simplified_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
+                         emit_checkpoints):
+    """Forward pass as a chunk scan (see _classic_fwd_scan)."""
+    probs, blank, ohlm = _simplified_gather_level(ctx, bpad, tpad, lpad)
+    if n_chunks == 1:
+        dg = _simplified_chunk_transitions(probs, ohlm)
+        if emit_checkpoints:
+            b, be, fin, fe = _simplified_fwd_call(
+                blank, dg, mode="bound", bb=bb, bt=bt
+            )
+            return (fin, fe), (b, be)
+        return _simplified_fwd_call(
+            blank, dg, mode="final", bb=bb, bt=bt
+        ), None
+
+    num_v = probs.shape[2]
+
+    def body(carry, c):
+        t0 = c * chunk_t
+        probs_c = jax.lax.dynamic_slice(
+            probs, (0, t0, 0), (bpad, chunk_t, num_v)
+        )
+        blank_c = jax.lax.dynamic_slice(blank, (0, t0, 0), (bpad, chunk_t, 1))
+        dg = _simplified_chunk_transitions(probs_c, ohlm)
+        fin = _simplified_fwd_call(
+            blank_c, dg, mode="final", init=carry, bb=bb, bt=bt
+        )
+        return fin, (carry if emit_checkpoints else None)
+
+    a0, _, e0 = _alpha_init(bpad, lpad)
+    final, cks = jax.lax.scan(body, (a0, e0), jnp.arange(n_chunks))
+    return final, cks
+
+
 @jax.jit
 def _simplified_loss_fast_impl(ctx: CtcContext):
     batch, num_t, _ = ctx.logproba.shape
@@ -919,9 +1099,10 @@ def _simplified_loss_fast_impl(ctx: CtcContext):
     lpad = _round_up(lp1, 128)
     bb, bt = _fit_blocks(lpad, num_big_buffers=3, num_t=num_t, batch=batch)
     bpad = _round_up(batch, bb)
-    tpad = _round_up(num_t, bt)
-    blank, dg, _ = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
-    fin, fe = _simplified_fwd_call(blank, dg, mode="final", bb=bb, bt=bt)
+    n_chunks, chunk_t, tpad = _chunk_plan(num_t, bt)
+    (fin, fe), _ = _simplified_fwd_scan(
+        ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, False
+    )
     return _pick_loss_single(fin, fe, ctx, batch, lp1)
 
 
@@ -941,11 +1122,14 @@ def _simplified_loss_and_pack_impl(ctx: CtcContext):
     (see classic_loss_and_pack)."""
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
-    blank, dg, _ = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
-    b, be, fin, fe = _simplified_fwd_call(blank, dg, mode="bound", bb=bb, bt=bt)
+    bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
+        batch, num_t, lp1
+    )
+    (fin, fe), cks = _simplified_fwd_scan(
+        ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
+    )
     loss = _pick_loss_single(fin, fe, ctx, batch, lp1)
-    return loss, (b, be, loss)
+    return loss, (cks[0], cks[1], loss)
 
 
 def simplified_loss_and_pack(ctx: CtcContext):
@@ -957,7 +1141,9 @@ def simplified_loss_and_pack(ctx: CtcContext):
     return _simplified_loss_and_pack_impl(ctx)
 
 
-def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
+def _simplified_bwd_call(blank, dg, bnd, bnde, beta_init, ebi, *, bb, bt):
+    """beta_init: (b, e) [bpad, lpad] carry at the end of this span.
+    Returns (pd, beta-final b/e)."""
     cfg = get_config()
     bpad, tpad, lpad = dg.shape
     n_tb = tpad // bt
@@ -972,7 +1158,7 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
     n_win = bt // kw
 
     def kernel(
-        init_ref, ebi_ref, blank_ref, dg_ref, bb_ref, bbe_ref,
+        bi_ref, bie_ref, ebi_ref, blank_ref, dg_ref, bb_ref, bbe_ref,
         pd_ref, fin_ref, fe_ref,
         sa, saf, b_s, e_s,
     ):
@@ -980,8 +1166,8 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
 
         @pl.when(j == 0)
         def _():
-            b_s[:] = init_ref[:]
-            e_s[:] = jnp.zeros(e_s.shape, jnp.int32)
+            b_s[:] = bi_ref[:]
+            e_s[:] = bie_ref[:]
 
         # phase 1: re-expand alpha across the block (windowed, identical
         # ops to the forward kernel)
@@ -1037,18 +1223,18 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
             fin_ref[:] = b_s[:]
-            fe_ref[:] = e_s[:].astype(jnp.float32)
+            fe_ref[:] = e_s[:]
 
     big3 = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vec, svec, small, big, bound, bound],
+        in_specs=[vec, vec, svec, small, big, bound, bound],
         out_specs=(big, vec, vec),
         out_shape=(
             big3,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bb, bt, lpad), jnp.float32),
@@ -1060,29 +1246,63 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, init_lane, ebi, *, bb, bt):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(init_lane, ebi, blank, dg, bnd, bnde)
+    )(beta_init[0], beta_init[1], ebi, blank, dg, bnd, bnde)
 
 
 @jax.jit
 def _simplified_grad_impl(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
-    bpad, tpad, lpad, bb, bt = _grad_geometry(batch, num_t, lp1)
-
-    blank, dg, oh_label = _simplified_padded_inputs(ctx, bpad, tpad, lpad)
-    bnd, bnde, loss = pack
-    init_lane = (
-        _lane_iota((bpad, lpad))
-        == jnp.pad(ctx.label_length, (0, bpad - batch))[:, None]
-    ).astype(jnp.float32)
-    ebi = _ebi_from_loss(loss, bpad)
-    pd, fin, fe = _simplified_bwd_call(
-        blank, dg, bnd, bnde, init_lane, ebi, bb=bb, bt=bt
+    bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
+        batch, num_t, lp1
     )
-    fast_loss = -(jnp.log(fin[:batch, 0]) + fe[:batch, 0] * LN2)
 
-    sums = jnp.einsum(
-        "btl,blv->btv", pd, oh_label, precision=jax.lax.Precision.HIGHEST
+    ck, cke, loss = pack
+    b_hot, _, be0 = _beta_init(ctx, bpad, lpad)
+    ebi = _ebi_from_loss(loss, bpad)
+    probs, blank, ohlm = _simplified_gather_level(ctx, bpad, tpad, lpad)
+
+    def scatter(pd):
+        return jnp.einsum(
+            "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGHEST
+        )
+
+    if n_chunks == 1:
+        dg = _simplified_chunk_transitions(probs, ohlm)
+        pd, fin, fe = _simplified_bwd_call(
+            blank, dg, ck, cke, (b_hot, be0), ebi, bb=bb, bt=bt
+        )
+        sums = scatter(pd)
+    else:
+        num_v = probs.shape[2]
+
+        def body(carry, c):
+            cr = n_chunks - 1 - c
+            t0 = cr * chunk_t
+            probs_c = jax.lax.dynamic_slice(
+                probs, (0, t0, 0), (bpad, chunk_t, num_v)
+            )
+            blank_c = jax.lax.dynamic_slice(
+                blank, (0, t0, 0), (bpad, chunk_t, 1)
+            )
+            dg = _simplified_chunk_transitions(probs_c, ohlm)
+            bc, bec, _, _ = _simplified_fwd_call(
+                blank_c, dg, mode="bound", init=(ck[cr], cke[cr]), bb=bb, bt=bt
+            )
+            pd, fb, fbe = _simplified_bwd_call(
+                blank_c, dg, bc, bec, carry, ebi, bb=bb, bt=bt
+            )
+            return (fb, fbe), scatter(pd)
+
+        (fin, fe), sums_rev = jax.lax.scan(
+            body, (b_hot, be0), jnp.arange(n_chunks)
+        )
+        sums = jnp.moveaxis(jnp.flip(sums_rev, axis=0), 0, 1).reshape(
+            bpad, tpad, num_v
+        )
+
+    fast_loss = -(
+        jnp.log(fin[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
     )
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     return _assemble_with_blank_identity(

@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tf_seq2seq_losses_tpu.ops.core import CtcContext, select_from_act
+from tf_seq2seq_losses_tpu.ops.core import (
+    CtcContext,
+    expected_token_lp as core_expected_token_lp,
+    select_from_act,
+)
 from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
 
 Array = jax.Array
@@ -35,7 +39,7 @@ def alpha(ctx: CtcContext) -> Array:
     (simplified_ctc_loss.py:358-424)."""
     xs = (
         jnp.moveaxis(ctx.blank_lp, 1, 0),
-        jnp.moveaxis(ctx.expected_token_lp, 1, 0),
+        jnp.moveaxis(core_expected_token_lp(ctx), 1, 0),
     )
 
     def body(carry, step):
@@ -65,7 +69,7 @@ def beta(ctx: CtcContext) -> Array:
     (simplified_ctc_loss.py:291-343)."""
     xs = (
         jnp.moveaxis(ctx.blank_lp, 1, 0),
-        jnp.moveaxis(ctx.expected_token_lp, 1, 0),
+        jnp.moveaxis(core_expected_token_lp(ctx), 1, 0),
     )
 
     def body(carry, step):
@@ -114,7 +118,7 @@ def gamma(ctx: CtcContext) -> Array:
     xs = (
         jnp.arange(num_t),
         jnp.moveaxis(ctx.blank_lp, 1, 0),
-        jnp.moveaxis(ctx.expected_token_lp, 1, 0),
+        jnp.moveaxis(core_expected_token_lp(ctx), 1, 0),
     )
     with jax.named_scope("simplified_gamma"):
         _, stacked = jax.lax.scan(body, diagonal_gamma, xs)
@@ -156,7 +160,9 @@ def combine(ctx: CtcContext, a: Array, b: Array) -> Array:
 
     b_next = jnp.roll(b, shift=-1, axis=-1)
     act_d = (
-        a[:, :, None] + ctx.expected_token_lp[:, None, None] + b_next[:, None]
+        a[:, :, None]
+        + core_expected_token_lp(ctx)[:, None, None]
+        + b_next[:, None]
     )  # [B, A, D, T, Lp1]
 
     flat = act_d.reshape(batch, a_dim * d_dim, num_t, lp1, 1)

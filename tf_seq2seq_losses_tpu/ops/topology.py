@@ -61,13 +61,30 @@ def _simplified_feasible(ctx: CtcContext) -> Array:
     return ctx.logit_length >= ctx.label_length
 
 
-def _guarded(fast_value, fallback_fn, loss_like, feasible):
+_GUARD_FALLBACK_BYTES = 4 << 30  # largest pure-path working set worth reserving
+
+
+def _fallback_fits(ctx: CtcContext) -> bool:
+    """Whether the exact log-space fallback's working set is worth reserving.
+
+    XLA reserves HBM for BOTH branches of a ``lax.cond``; the pure path
+    materialises several O(B*T*L) tensors, so for very long sequences the
+    *unused* fallback branch alone would exceed the chip (measured: ~60 GB
+    at B=256, T=4000).  Static shape-based decision: beyond the cap the fast
+    path runs unguarded (its block-float carries have unlimited range; only
+    sub-1e-38 f32 transition probabilities can flush)."""
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    return batch * (num_t + 1) * lp1 * 4 * 8 <= _GUARD_FALLBACK_BYTES
+
+
+def _guarded(fast_value, fallback_fn, loss_like, feasible, ctx):
     """Select ``fast_value`` unless a feasible sample produced a non-finite
     fast loss (float32 underflow in probability space).
 
     ``config.guard = False`` (env ``CTC_TPU_GUARD=0``) removes the check for
     maximum throughput when inputs are known to be sane."""
-    if not get_config().guard:
+    if not get_config().guard or not _fallback_fits(ctx):
         return fast_value
     flushed = jnp.any(~jnp.isfinite(loss_like) & feasible)
     return jax.lax.cond(flushed, fallback_fn, lambda: fast_value)
@@ -107,6 +124,7 @@ class ClassicTopology:
             lambda: _classic.loss(ctx, _classic.alpha(ctx)),
             fast,
             _classic_feasible(ctx),
+            ctx,
         )
 
     @staticmethod
@@ -122,6 +140,7 @@ class ClassicTopology:
             lambda: _classic.loss(ctx, _classic.alpha(ctx)),
             fast,
             _classic_feasible(ctx),
+            ctx,
         )
         return loss, pack
 
@@ -141,7 +160,7 @@ class ClassicTopology:
         if not get_config().pallas_enabled():
             return pure()
         fast, fast_loss = _pallas().classic_gradient_log_with_loss(ctx, loss, pack)
-        return _guarded(fast, pure, fast_loss, _classic_feasible(ctx))
+        return _guarded(fast, pure, fast_loss, _classic_feasible(ctx), ctx)
 
 
 class SimplifiedTopology:
@@ -177,6 +196,7 @@ class SimplifiedTopology:
             lambda: _simplified.loss(ctx, _simplified.alpha(ctx)),
             fast,
             _simplified_feasible(ctx),
+            ctx,
         )
 
     @staticmethod
@@ -190,6 +210,7 @@ class SimplifiedTopology:
             lambda: _simplified.loss(ctx, _simplified.alpha(ctx)),
             fast,
             _simplified_feasible(ctx),
+            ctx,
         )
         return loss, pack
 
@@ -202,7 +223,7 @@ class SimplifiedTopology:
         if not get_config().pallas_enabled():
             return pure()
         fast, fast_loss = _pallas().simplified_gradient_log_with_loss(ctx, loss, pack)
-        return _guarded(fast, pure, fast_loss, _simplified_feasible(ctx))
+        return _guarded(fast, pure, fast_loss, _simplified_feasible(ctx), ctx)
 
 
 CLASSIC = ClassicTopology()

@@ -28,6 +28,12 @@ class KernelConfig:
     # Unroll the per-block time loop inside kernels (static VMEM indices;
     # larger code, less per-step scalar/loop overhead).
     unroll: bool = True
+    # Time chunking for the long-sequence path: when the (padded) time axis
+    # exceeds chunk_time, the [B, T, L] transition/act tensors are never
+    # materialised in full; an XLA-level scan processes chunk_time-sized
+    # spans through the kernels, carrying the lattice state across chunks
+    # (two-level checkpointing).  Memory becomes O(B*T*V + B*chunk*L).
+    chunk_time: int = 512
     # Frozen-frame window length: per-lane exponent renormalisation and
     # roll-alignment factors are recomputed every `window` steps instead of
     # every step (the steps in between are plain f32 FMAs).  Larger windows
@@ -65,6 +71,7 @@ def _env_default() -> KernelConfig:
     if os.environ.get("CTC_TPU_UNROLL") in ("0", "false", "False"):
         cfg.unroll = False
     cfg.window = int(os.environ.get("CTC_TPU_WINDOW", cfg.window))
+    cfg.chunk_time = int(os.environ.get("CTC_TPU_CHUNK_TIME", cfg.chunk_time))
     if os.environ.get("CTC_TPU_GUARD") in ("0", "false", "False"):
         cfg.guard = False
     return cfg
