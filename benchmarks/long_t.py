@@ -36,11 +36,16 @@ def timed(args, n_hi=4, reps=2):
     def loop(labels, logits, label_length, logit_length, n):
         def body(i, acc):
             x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
-            loss, grad = jax.value_and_grad(
-                lambda y: jnp.mean(
-                    classic_ctc_loss(labels, y, label_length, logit_length, 0)
-                )
-            )(x)
+
+            def mean_finite(y):
+                # at long T the random-lengths generator occasionally emits a
+                # genuinely infeasible sample (label + forced blanks > logits);
+                # its +inf loss / zero grad is correct — mask it from the mean
+                out = classic_ctc_loss(labels, y, label_length, logit_length, 0)
+                finite = jnp.isfinite(out)
+                return jnp.sum(jnp.where(finite, out, 0.0)) / jnp.sum(finite)
+
+            loss, grad = jax.value_and_grad(mean_finite)(x)
             return acc + loss + jnp.sum(grad) * 1e-9
 
         return jax.lax.fori_loop(0, n, body, 0.0)
