@@ -281,3 +281,64 @@ def test_chunked_long_t_matches_pure(loss_fn_name):
         g_ch = jax.grad(scalar)(inputs["logits"])
     np.testing.assert_allclose(np.asarray(l_ch), np.asarray(l_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_ch), np.asarray(g_ref), atol=1e-5)
+
+
+def test_per_sample_repair_mixed_batch():
+    """One saturated sample among sane ones: the repair gathers only the
+    flushed sample through the pure path; every sample must match the pure
+    reference exactly (VERDICT r1 next-round #4)."""
+    from tf_seq2seq_losses_tpu import classic_ctc_loss
+
+    rand = np.random.RandomState(0)
+    batch, max_t, vocab, max_l = 6, 12, 5, 5
+    logits = rand.randn(batch, max_t, vocab).astype(np.float32)
+    # sample 2: wrong certain prediction (reference
+    # test_classic_ctc_loss.py:285-307) -> posterior underflows f32 prob space
+    logits[2] = 0.0
+    logits[2, :, 2] = 100.0
+    labels = rand.randint(1, vocab, (batch, max_l)).astype(np.int32)
+    labels[2, 0] = 1
+    ll = np.full((batch,), 3, np.int32)
+    ll[2] = 1
+    gl = np.full((batch,), max_t, np.int32)
+    args = (jnp.asarray(labels), jnp.asarray(logits), jnp.asarray(ll),
+            jnp.asarray(gl))
+
+    def scalar(x):
+        out = classic_ctc_loss(args[0], x, args[2], args[3], 0)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    with config_override(use_pallas=False):
+        l_ref = classic_ctc_loss(args[0], args[1], args[2], args[3], 0)
+        g_ref = jax.grad(scalar)(args[1])
+    # bucket smaller than the batch: exercises gather/scatter, not the
+    # whole-batch reroute
+    with config_override(repair_bucket=2):
+        l_fast = classic_ctc_loss(args[0], args[1], args[2], args[3], 0)
+        g_fast = jax.grad(scalar)(args[1])
+    np.testing.assert_allclose(np.asarray(l_fast), np.asarray(l_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-4)
+
+
+def test_repair_escalates_beyond_bucket():
+    """More flushed samples than the bucket -> whole-batch pure reroute."""
+    from tf_seq2seq_losses_tpu import classic_ctc_loss
+
+    batch, max_t, vocab = 4, 6, 4
+    logits = np.zeros((batch, max_t, vocab), np.float32)
+    logits[:, :, 3] = 100.0  # every sample saturated-wrong
+    labels = np.full((batch, 2), 1, np.int32)
+    labels[:, 1] = 2
+    ll = np.full((batch,), 2, np.int32)
+    gl = np.full((batch,), max_t, np.int32)
+    with config_override(use_pallas=False):
+        want = classic_ctc_loss(
+            jnp.asarray(labels), jnp.asarray(logits), jnp.asarray(ll),
+            jnp.asarray(gl), 0,
+        )
+    with config_override(repair_bucket=1):
+        got = classic_ctc_loss(
+            jnp.asarray(labels), jnp.asarray(logits), jnp.asarray(ll),
+            jnp.asarray(gl), 0,
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

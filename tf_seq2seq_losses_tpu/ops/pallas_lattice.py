@@ -853,10 +853,13 @@ def _classic_grad_impl(ctx: CtcContext, pack):
     )
 
     def scatter(ph, pd):
+        # posteriors in [0, 1]: bf16x3 passes (HIGH) keep products to ~2^-21
+        # relative with f32 accumulation -- inside the 1e-5 grad tolerance
+        # at half the MXU passes of HIGHEST
         return jnp.einsum(
-            "btl,blv->btv", ph, ohp, precision=jax.lax.Precision.HIGHEST
+            "btl,blv->btv", ph, ohp, precision=jax.lax.Precision.HIGH
         ) + jnp.einsum(
-            "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGHEST
+            "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGH
         )
 
     if n_chunks == 1:
@@ -1264,7 +1267,7 @@ def _simplified_grad_impl(ctx: CtcContext, pack):
 
     def scatter(pd):
         return jnp.einsum(
-            "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGHEST
+            "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGH
         )
 
     if n_chunks == 1:

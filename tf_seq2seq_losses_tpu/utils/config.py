@@ -34,6 +34,12 @@ class KernelConfig:
     # spans through the kernels, carrying the lattice state across chunks
     # (two-level checkpointing).  Memory becomes O(B*T*V + B*chunk*L).
     chunk_time: int = 512
+    # Per-sample saturation repair: when <= repair_bucket feasible samples
+    # flush on the fast path, only those samples are gathered and recomputed
+    # through the exact log-space pure path (then scattered back); the
+    # whole-batch pure reroute is reserved for > repair_bucket flushes.
+    # 0 disables the bucket (always whole-batch reroute).
+    repair_bucket: int = 16
     # Frozen-frame window length: per-lane exponent renormalisation and
     # roll-alignment factors are recomputed every `window` steps instead of
     # every step (the steps in between are plain f32 FMAs).  Larger windows
@@ -71,6 +77,9 @@ def _env_default() -> KernelConfig:
     if os.environ.get("CTC_TPU_UNROLL") in ("0", "false", "False"):
         cfg.unroll = False
     cfg.window = int(os.environ.get("CTC_TPU_WINDOW", cfg.window))
+    cfg.repair_bucket = int(
+        os.environ.get("CTC_TPU_REPAIR_BUCKET", cfg.repair_bucket)
+    )
     cfg.chunk_time = int(os.environ.get("CTC_TPU_CHUNK_TIME", cfg.chunk_time))
     if os.environ.get("CTC_TPU_GUARD") in ("0", "false", "False"):
         cfg.guard = False
