@@ -144,7 +144,7 @@ def parity_check():
     return ok
 
 
-def timed_hessian_ms(batch=2, t_len=5, vocab=3, n_hi=32, reps=3):
+def timed_hessian_ms(batch=2, t_len=5, vocab=3, n_hi=512, reps=3):
     """Analytic-Hessian ms/batch at the reference README example shape
     (B=2, T=5, V=3 — BASELINE.json config; the Hessian is a small-shape
     feature, O(T^2 L^2) memory, SURVEY §5)."""

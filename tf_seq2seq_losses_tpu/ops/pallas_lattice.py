@@ -259,13 +259,16 @@ def _classic_chunk_transitions(probs, oh_label_masked, oh_prec):
     ``pm = pt * nb_mask`` (repeat-horizontal, blank excluded —
     classic_ctc_loss.py:528-543) and ``do = dc * rep_mask``
     (repetition-masked diagonal — classic_ctc_loss.py:465-501) on the fly."""
+    # one-hot selection of *probabilities*: each output has one nonzero
+    # summand, so bf16x3 passes (HIGH) reproduce it to ~2^-21 relative --
+    # unlike the log-space gathers in ops/core.py, which must stay HIGHEST
     dc = jnp.einsum(
         "btv,blv->btl", probs, oh_label_masked,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     pt = jnp.einsum(
         "btv,blv->btl", probs, oh_prec,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     return dc, pt
 
@@ -294,7 +297,7 @@ def _simplified_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
 def _simplified_chunk_transitions(probs, oh_label_masked):
     return jnp.einsum(
         "btv,blv->btl", probs, oh_label_masked,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
 
 
@@ -368,13 +371,23 @@ def _open_window(mants, e, max_lag, forward):
     lane = _lane_iota(e.shape)
 
     e_t = _true_exp(mants, e)
+
+    # Windowmax over source lags 0..max_lag by shift doubling (log2 rolls
+    # instead of max_lag rolls).  If f covers lags [0, c-1], rolling it by s
+    # extends coverage to [0, c+s-1]; the rolled operand's wrapped lanes
+    # (the s lanes at the boundary) are killed, so coverage stays exact.
+    def kill(x, n):
+        if forward:
+            return jnp.where(lane < n, -_EBIG, x)
+        return jnp.where(lane >= lpad - n, -_EBIG, x)
+
     f = e_t
-    src = e_t
-    for _ in range(max_lag):
-        src = jnp.where(
-            lane == kill_lane, -_EBIG, _iroll(src, shift)
-        )
-        f = jnp.maximum(f, src)
+    cover = 1
+    while cover <= max_lag:
+        s = min(cover, max_lag - cover + 1)
+        sh = s if forward else lpad - s
+        f = jnp.maximum(f, kill(_iroll(f, sh), s))
+        cover += s
     # Rescale by the raw carry exponent (e_t folds the mantissa magnitude in
     # and is only the right quantity for the frame max); f >= e_t >= e + ...
     # keeps the result < 2^1, and lanes whose frame sits > 126 doublings
