@@ -59,3 +59,5 @@ if __name__ == "__main__":
         print(f"simplified fwd+grad B={B} T={T}: {timed(simplified_ctc_loss, args):.3f} ms")
     if "fwd" in which:
         print(f"classic fwd-only B={B} T={T}: {timed(classic_ctc_loss, args, forward_only=True):.3f} ms")
+    if "simplified_fwd" in which:
+        print(f"simplified fwd-only B={B} T={T}: {timed(simplified_ctc_loss, args, forward_only=True):.3f} ms")
