@@ -80,7 +80,9 @@ def main():
     def ctx_only(labels, x, ll, gl):
         lp = logit_to_logproba(x, 2)
         ctx = core.make_context(labels, lp, ll, gl, 0)
-        return jnp.sum(ctx.expected_token_lp) * 1e-9 + jnp.sum(ctx.blank_lp) * 1e-9
+        from tf_seq2seq_losses_tpu.ops.core import expected_token_lp
+
+        return jnp.sum(expected_token_lp(ctx)) * 1e-9 + jnp.sum(ctx.blank_lp) * 1e-9
 
     def alpha_k(labels, x, ll, gl):
         lp = logit_to_logproba(x, 2)
