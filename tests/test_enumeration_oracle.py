@@ -113,6 +113,7 @@ def test_loss_and_gradient_match_enumeration(topology, blank):
         np.testing.assert_allclose(grad[b], full_grad, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("topology", ["classic", "simplified"])
 @pytest.mark.parametrize("blank", [0, 2])
 def test_hessian_matches_enumeration(topology, blank):

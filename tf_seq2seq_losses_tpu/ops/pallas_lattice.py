@@ -94,11 +94,14 @@ def _fit_blocks(
     """Pick (block_batch, block_time) whose VMEM working set fits the core.
 
     Model: ``num_big_buffers * bb * bt * lpad * 4 bytes * 2 (double
-    buffering) * 2 (allocator slack)`` against a 12 MB budget (empirically
-    Mosaic's scoped-vmem allocation is ~2x the naive estimate).
+    buffering) * 2 (allocator slack)`` against a 36 MB budget.  The model is
+    deliberately conservative (~4x the real VMEM need); 36 MB admits the
+    measured-optimal (64, 16) blocks at the benchmark shape (3.79 ms vs
+    4.15 ms at the old 12 MB budget's (32, 8) — benchmarks/sweep_v3.py)
+    while still shrinking correctly for wide-lattice long-T geometries.
     """
     cfg = get_config()
-    budget = int(os.environ.get("CTC_TPU_VMEM_BUDGET_MB", "12")) << 20
+    budget = int(os.environ.get("CTC_TPU_VMEM_BUDGET_MB", "36")) << 20
     bb = min(cfg.block_batch, max(batch, 1))
     bt = min(cfg.block_time, max(num_t, 1))
     if bt < max(num_t, 1):
