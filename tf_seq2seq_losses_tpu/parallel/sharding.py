@@ -30,6 +30,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tf_seq2seq_losses_tpu import api
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map across the supported version range.
+
+    The replication-check kwarg was renamed ``check_rep`` -> ``check_vma``
+    around jax 0.7; the scan carries here start device-invariant, so the
+    check is disabled under either name."""
+    import inspect
+
+    kw = (
+        "check_vma"
+        if "check_vma" in inspect.signature(jax.shard_map).parameters
+        else "check_rep"
+    )
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **{kw: False}
+    )
+
+
 def make_mesh(
     axis_shapes: Optional[Sequence[int]] = None,
     axis_names: Sequence[str] = ("data",),
@@ -73,12 +91,8 @@ def sharded_ctc_loss(
             labels, logits, label_length, logit_length, blank_index, topology
         )
 
-    mapped = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(spec2, spec3, spec1, spec1),
-        out_specs=spec1,
-        check_vma=False,  # scan carries start device-invariant; skip VMA check
+    mapped = _shard_map(
+        local_fn, mesh, (spec2, spec3, spec1, spec1), spec1
     )
     return jax.jit(mapped)
 
@@ -107,12 +121,8 @@ def sharded_mean_ctc_loss(
         count = jax.lax.psum(local_count, data_axis)
         return total / count
 
-    mapped = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(spec2, spec3, spec1, spec1),
-        out_specs=P(),
-        check_vma=False,  # scan carries start device-invariant; skip VMA check
+    mapped = _shard_map(
+        local_fn, mesh, (spec2, spec3, spec1, spec1), P()
     )
     return jax.jit(mapped)
 
