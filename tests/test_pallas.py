@@ -342,3 +342,38 @@ def test_repair_escalates_beyond_bucket():
             jnp.asarray(gl), 0,
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("blank", [2, 4])
+def test_nonzero_blank_through_kernels(blank):
+    """Kernel path with blank_index != 0 vs the pure path (the reference
+    only tests non-zero blank on the simplified topology,
+    test_simplified_ctc_loss.py:93-115 — here both, loss and grad)."""
+    from tf_seq2seq_losses_tpu import classic_ctc_loss, simplified_ctc_loss
+
+    rng = np.random.RandomState(7)
+    batch, max_t, vocab, max_l = 4, 11, 5, 4
+    labels_np = rng.randint(0, vocab - 1, (batch, max_l)).astype(np.int32)
+    labels_np[labels_np >= blank] += 1  # labels never contain the blank
+    labels = jnp.asarray(labels_np)
+    logits = jnp.asarray(rng.randn(batch, max_t, vocab).astype(np.float32))
+    ll = jnp.asarray(rng.randint(1, max_l + 1, (batch,)).astype(np.int32))
+    gl = jnp.asarray(rng.randint(5, max_t + 1, (batch,)).astype(np.int32))
+
+    for fn in (classic_ctc_loss, simplified_ctc_loss):
+
+        def scalar(x, fn=fn):
+            out = fn(labels, x, ll, gl, blank)
+            return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+        with config_override(use_pallas=False):
+            l_ref = fn(labels, logits, ll, gl, blank)
+            g_ref = jax.grad(scalar)(logits)
+        l_k = fn(labels, logits, ll, gl, blank)
+        g_k = jax.grad(scalar)(logits)
+        np.testing.assert_allclose(
+            np.asarray(l_k), np.asarray(l_ref), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_k), np.asarray(g_ref), atol=1e-5
+        )
