@@ -66,14 +66,17 @@ def _make_loop(loss_fn, forward_only=False):
     def loop(labels, logits, label_length, logit_length, n):
         def body(i, acc):
             x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
+
+            def mean_finite(y):
+                # mask infeasible samples: an inf mean would make acc*0.0
+                # NaN and poison later iterations' inputs
+                out = loss_fn(labels, y, label_length, logit_length, 0)
+                finite = jnp.isfinite(out)
+                return jnp.sum(jnp.where(finite, out, 0.0)) / jnp.sum(finite)
+
             if forward_only:
-                loss = jnp.mean(loss_fn(labels, x, label_length, logit_length, 0))
-                return acc + loss
-            loss, grad = jax.value_and_grad(
-                lambda y: jnp.mean(
-                    loss_fn(labels, y, label_length, logit_length, 0)
-                )
-            )(x)
+                return acc + mean_finite(x)
+            loss, grad = jax.value_and_grad(mean_finite)(x)
             return acc + loss + jnp.sum(grad) * 1e-9
 
         return jax.lax.fori_loop(0, n, body, 0.0)

@@ -59,15 +59,20 @@ def optax_classic_loss(labels, logits, label_length, logit_length, blank_index):
 def measure(loss_fn, args, grad: bool, n_hi=16, reps=5):
     labels, logits, label_length, logit_length = args
 
+    def mean_finite(y):
+        # mask genuinely infeasible samples (+inf loss): an inf mean would
+        # turn acc*0.0 into NaN and poison every later iteration's input
+        out = loss_fn(labels, y, label_length, logit_length, 0)
+        finite = jnp.isfinite(out)
+        return jnp.sum(jnp.where(finite, out, 0.0)) / jnp.sum(finite)
+
     def body_fwd(i, acc):
         x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
-        return acc + jnp.mean(loss_fn(labels, x, label_length, logit_length, 0))
+        return acc + mean_finite(x)
 
     def body_grad(i, acc):
         x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
-        loss, g = jax.value_and_grad(
-            lambda y: jnp.mean(loss_fn(labels, y, label_length, logit_length, 0))
-        )(x)
+        loss, g = jax.value_and_grad(mean_finite)(x)
         return acc + loss + jnp.sum(g) * 1e-9
 
     body = body_grad if grad else body_fwd

@@ -27,11 +27,19 @@ def timed(loss_fn, args, forward_only=False, n_hi=16, reps=3):
     def loop(labels, logits, label_length, logit_length, n):
         def body(i, acc):
             x = logits + acc * 0.0 + i.astype(jnp.float32) * 1e-6
+
+            def mean_finite(y):
+                # mask genuinely infeasible samples (+inf loss): an inf mean
+                # would turn acc*0.0 into NaN and poison every later
+                # iteration's input, silently flipping the guard's fallback
+                # on (the T=250 "anomaly" of round 2)
+                out = loss_fn(labels, y, label_length, logit_length, 0)
+                finite = jnp.isfinite(out)
+                return jnp.sum(jnp.where(finite, out, 0.0)) / jnp.sum(finite)
+
             if forward_only:
-                return acc + jnp.mean(loss_fn(labels, x, label_length, logit_length, 0))
-            loss, grad = jax.value_and_grad(
-                lambda y: jnp.mean(loss_fn(labels, y, label_length, logit_length, 0))
-            )(x)
+                return acc + mean_finite(x)
+            loss, grad = jax.value_and_grad(mean_finite)(x)
             return acc + loss + jnp.sum(grad) * 1e-9
 
         return jax.lax.fori_loop(0, n, body, 0.0)

@@ -546,6 +546,10 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt, init=None):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # Mosaic's default 16 MB scoped-vmem cap rejects the backward
+            # kernel at lane widths >= 512 (17.2 MB measured at B=256,
+            # T=1000); the chip has far more physical VMEM, so raise it.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=cfg.interpret,
     )(init[0], init[1], init[2], blank, dc, pt, nb, rep)
@@ -815,6 +819,10 @@ def _classic_bwd_call(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # Mosaic's default 16 MB scoped-vmem cap rejects the backward
+            # kernel at lane widths >= 512 (17.2 MB measured at B=256,
+            # T=1000); the chip has far more physical VMEM, so raise it.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], beta_init[2], ebi,
@@ -1062,6 +1070,10 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # Mosaic's default 16 MB scoped-vmem cap rejects the backward
+            # kernel at lane widths >= 512 (17.2 MB measured at B=256,
+            # T=1000); the chip has far more physical VMEM, so raise it.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=cfg.interpret,
     )(init[0], init[1], blank, dg)
@@ -1263,6 +1275,10 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, beta_init, ebi, *, bb, bt):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # Mosaic's default 16 MB scoped-vmem cap rejects the backward
+            # kernel at lane widths >= 512 (17.2 MB measured at B=256,
+            # T=1000); the chip has far more physical VMEM, so raise it.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], ebi, blank, dg, bnd, bnde)

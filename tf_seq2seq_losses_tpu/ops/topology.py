@@ -106,7 +106,11 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx):
     cfg = get_config()
     if not cfg.guard or not _fallback_fits(ctx):
         return fast_value
-    flushed = ~jnp.isfinite(loss_like) & feasible
+    # +inf specifically: a flushed kernel loss is exactly +inf (log of a
+    # zero probability); NaN means NaN *inputs*, which the exact path would
+    # propagate identically -- let them flow like any JAX function instead
+    # of paying for a pointless reroute
+    flushed = jnp.isposinf(loss_like) & feasible
     n = jnp.sum(flushed.astype(jnp.int32))
     bucket = min(cfg.repair_bucket, ctx.logproba.shape[0])
     if bucket <= 0:
