@@ -12,6 +12,9 @@ CASES = [
     (2, 11, 5, 128, 4),
     (1, 31, 3, 7, 5),
     (7, 40, 8, 20, 6),
+    (4, 65, 6, 30, 7),    # T crosses several window/block boundaries
+    (3, 23, 9, 129, 8),   # Lp1 just over the lane tile
+    (6, 12, 4, 6, 9),     # short labels, tight feasibility
 ]
 ok = True
 for batch, max_t, vocab, max_l, seed in CASES:
