@@ -377,3 +377,36 @@ def test_nonzero_blank_through_kernels(blank):
         np.testing.assert_allclose(
             np.asarray(g_k), np.asarray(g_ref), atol=1e-5
         )
+
+
+@pytest.mark.parametrize("topology", ["classic", "simplified"])
+def test_streamed_residuals_match_residual_free(topology):
+    """r3 streamed-residual backward (fwd kernel emits per-step alphas, bwd
+    is beta-only with a single combined act) vs the r2 residual-free block
+    recompute: gradients must agree to float32 noise, and both must match
+    the pure oracle."""
+    from tf_seq2seq_losses_tpu import classic_ctc_loss, simplified_ctc_loss
+
+    fn = classic_ctc_loss if topology == "classic" else simplified_ctc_loss
+    inputs = generate_ctc_loss_inputs(
+        batch_size=4, max_logit_length=11, random_seed=5, num_tokens=5,
+        blank_index=0,
+    )
+    args = (inputs["labels"], inputs["logits"], inputs["label_length"],
+            inputs["logit_length"])
+
+    def scalar(x):
+        out = fn(args[0], x, args[2], args[3], 0)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    with config_override(use_pallas=False):
+        l_ref = fn(*args, 0)
+        g_ref = jax.grad(scalar)(args[1])
+    with config_override(stream_residuals=True):
+        l_st = fn(*args, 0)
+        g_st = jax.grad(scalar)(args[1])
+    with config_override(stream_residuals=False):
+        g_rf = jax.grad(scalar)(args[1])
+    np.testing.assert_allclose(np.asarray(l_st), np.asarray(l_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_rf), atol=1e-6)

@@ -65,7 +65,7 @@ scale.
 
 from __future__ import annotations
 
-import os
+import functools
 from typing import Tuple
 
 import jax
@@ -88,6 +88,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _cfg_jit(fn):
+    """jit keyed on the (frozen, hashable) KernelConfig, not just shapes.
+
+    Every impl below reads ``get_config()`` at trace time (block geometry,
+    window length, chunking, interpret mode); a plain ``@jax.jit`` keyed on
+    array shapes would silently return a stale executable after
+    ``config_override`` changed any of those knobs at the same shapes.
+    Each distinct config gets its own jitted callable (and its own XLA trace
+    cache); the config is read once, at call time, consistently with the
+    trace that follows.
+    """
+    cache = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args):
+        cfg = get_config()
+        jitted = cache.get(cfg)
+        if jitted is None:
+            jitted = cache[cfg] = jax.jit(fn)
+        return jitted(*args)
+
+    wrapper._cache = cache  # introspection hook for tests
+    return wrapper
+
+
 def _fit_blocks(
     lpad: int, num_big_buffers: int, num_t: int, batch: int
 ) -> Tuple[int, int]:
@@ -101,7 +126,7 @@ def _fit_blocks(
     while still shrinking correctly for wide-lattice long-T geometries.
     """
     cfg = get_config()
-    budget = int(os.environ.get("CTC_TPU_VMEM_BUDGET_MB", "36")) << 20
+    budget = cfg.vmem_budget_mb << 20
     bb = min(cfg.block_batch, max(batch, 1))
     bt = min(cfg.block_time, max(num_t, 1))
     if bt < max(num_t, 1):
@@ -145,6 +170,16 @@ def _grad_geometry(batch: int, num_t: int, lp1: int):
     bpad = _round_up(batch, bb)
     n_chunks, chunk_t, tpad = _chunk_plan(num_t, bt)
     return bpad, tpad, lpad, bb, bt, n_chunks, chunk_t
+
+
+def _use_stream(n_chunks: int) -> bool:
+    """Streamed-residual gradient scheme: single-chunk geometries only (the
+    chunked long-T path keeps the residual-free block recompute — streamed
+    residuals are O(B*T*L) HBM).  Producer (loss_and_pack) and consumer
+    (grad impl) both recompute this same static predicate under the same
+    config (the jit caches are config-keyed), so the pack layout always
+    matches."""
+    return get_config().stream_residuals and n_chunks == 1
 
 
 # ---------------------------------------------------------------------------
@@ -403,10 +438,21 @@ def _open_window(mants, e, max_lag, forward):
 
 
 def _act_factor(fa, fb, ebi):
-    """Per-window act scale 2^(Fa + Fb - Ebi) (f32 exponent sum: the int
-    dead-lane markers would overflow int32)."""
+    """Per-window act scale 2^(Fa + Fb - Ebi) as TWO power-of-two factors.
+
+    A single f32 factor cannot represent |s| > 127; when the alpha/beta
+    window frames sit inflated far above a lane's true act exponent (large
+    *different-lane* neighbours), the mantissa product compensates in the
+    subnormal range and a clipped single factor silently underscaled a
+    still-representable act (ADVICE r2).  Two sequential multiplies cover
+    |s| <= 252; beyond that either the mantissa product or the true act is
+    below the f32 subnormal range, so the result is exactly 0 under either
+    scheme.  (f32 exponent sums: the int dead-lane markers would overflow
+    int32.)"""
     s = fa.astype(jnp.float32) + fb.astype(jnp.float32) - ebi
-    return _pow2(jnp.clip(s, -127.0, 127.0).astype(jnp.int32))
+    s = jnp.clip(s, -252.0, 252.0).astype(jnp.int32)
+    h = s // 2
+    return _pow2(h), _pow2(s - h)
 
 
 def _classic_win_step(a0, a1, blank, dc, pm, do, s_arr):
@@ -425,14 +471,20 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
     exponent e [bb, Lpad] int32 (the frame of the last window).  mode
     'final' emits only the last carry; mode 'bound' additionally emits the
     carry at each time-block boundary (the checkpoint the backward kernel
-    re-expands from).
+    re-expands from); mode 'resid' streams the full per-step alpha mantissas
+    and per-window frames to HBM so the backward kernel can skip its
+    re-expand phase entirely (config.stream_residuals).
     """
     n_win = block_t // k_win
 
     def kernel(i0_ref, i1_ref, ie_ref, blank_ref, dc_ref, pt_ref, nb_ref,
                rep_ref, *rest):
+        sa0_ref = sa1_ref = saf_ref = None
         if mode == "bound":
             b0_ref, b1_ref, be_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
+        elif mode == "resid":
+            (sa0_ref, sa1_ref, saf_ref, f0_ref, f1_ref, fe_ref,
+             a0_s, a1_s, e_s) = rest
         else:
             f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         j = pl.program_id(1)
@@ -452,8 +504,13 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
         def window(w, carry):
             a0, a1, e = carry
             (a0, a1), f, s_arr = _open_window([a0, a1], e, k_win, True)
+            if mode == "resid":
+                saf_ref[w, :, :] = f
             for kk in range(k_win):
                 k = w * k_win + kk
+                if mode == "resid":
+                    sa0_ref[:, k, :] = a0
+                    sa1_ref[:, k, :] = a1
                 blank = blank_ref[:, k, :]  # [bb, 1]
                 dc = dc_ref[:, k, :]  # [bb, Lpad]
                 pm = pt_ref[:, k, :] * nb_ref[:]
@@ -485,10 +542,13 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
 
 
 def _k_win(bt: int) -> int:
-    """Window length: largest divisor of bt not exceeding config.window."""
-    import math
+    """Window length: largest divisor of bt not exceeding config.window.
 
-    return math.gcd(bt, max(1, get_config().window))
+    (ADVICE r2: ``gcd(bt, window)`` silently forfeited amortisation for
+    non-power-of-two windows, e.g. window=6 with bt=16 gave 2 instead of 4.)
+    """
+    w = max(1, get_config().window)
+    return max(d for d in range(1, bt + 1) if bt % d == 0 and d <= w)
 
 
 def _alpha_init(bpad: int, lpad: int):
@@ -525,6 +585,22 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt, init=None):
             jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
         out_specs = (bound, bound, bound, vec, vec, vec)
+    elif mode == "resid":
+        # per-step alpha mantissas (in their window frame) + per-window
+        # frames; frames use a leading window index so the trailing
+        # (bb, lpad) block satisfies Mosaic's (8, 128) tiling constraint
+        kw = _k_win(bt)
+        n_w = bt // kw
+        frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (j, i, 0))
+        out_shape = (
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tb * n_w, bpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        )
+        out_specs = (big, big, frame, vec, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -549,7 +625,7 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt, init=None):
             # Mosaic's default 16 MB scoped-vmem cap rejects the backward
             # kernel at lane widths >= 512 (17.2 MB measured at B=256,
             # T=1000); the chip has far more physical VMEM, so raise it.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
     )(init[0], init[1], init[2], blank, dc, pt, nb, rep)
@@ -600,7 +676,7 @@ def _classic_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
     return final, cks
 
 
-@jax.jit
+@_cfg_jit
 def _classic_loss_fast_impl(ctx: CtcContext):
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
@@ -627,7 +703,7 @@ def classic_loss_fast(ctx: CtcContext) -> Array:
     return _classic_loss_fast_impl(ctx)
 
 
-@jax.jit
+@_cfg_jit
 def _classic_loss_and_pack_impl(ctx: CtcContext):
     """Loss via the bound-mode kernel, returning the boundary-carry pack.
 
@@ -642,6 +718,16 @@ def _classic_loss_and_pack_impl(ctx: CtcContext):
     bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
         batch, num_t, lp1
     )
+    if _use_stream(n_chunks):
+        probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
+            ctx, bpad, tpad, lpad
+        )
+        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        sa0, sa1, saf, f0, f1, fe = _classic_fwd_call(
+            blank, dc, pt, nb, rep, mode="resid", bb=bb, bt=bt
+        )
+        loss = _pick_loss(f0, f1, fe, ctx, batch, lp1)
+        return loss, (sa0, sa1, saf, loss)
     (f0, f1, fe), cks = _classic_fwd_scan(
         ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
     )
@@ -727,7 +813,7 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
             w = n_win - 1 - wr
             b0, b1, eb = carry
             (b0, b1), fb, s_arr = _open_window([b0, b1], eb, k_win, False)
-            s_act = _act_factor(saf[:, w, :], fb, ebi)
+            s_hi, s_lo = _act_factor(saf[:, w, :], fb, ebi)
             for kk in range(k_win - 1, -1, -1):
                 k = w * k_win + kk
                 blank = blank_ref[:, k, :]
@@ -740,8 +826,8 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
 
                 arr = pltpu.roll(b1, shift=lpad - 1, axis=1) * s_arr
                 d = a0 * dc + a1 * do
-                ph_ref[:, k, :] = (a1 * pt * b1) * s_act
-                pd_ref[:, k, :] = d * arr * s_act
+                ph_ref[:, k, :] = (a1 * pt * b1) * s_hi * s_lo
+                pd_ref[:, k, :] = d * arr * s_hi * s_lo
 
                 hc = blank * b0
                 n0 = hc + dc * arr
@@ -822,11 +908,138 @@ def _classic_bwd_call(
             # Mosaic's default 16 MB scoped-vmem cap rejects the backward
             # kernel at lane widths >= 512 (17.2 MB measured at B=256,
             # T=1000); the chip has far more physical VMEM, so raise it.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], beta_init[2], ebi,
       blank, dc, pt, nb, rep, bnd0, bnd1, bnde)
+
+
+def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
+    """Single-scan backward kernel over streamed alpha residuals.
+
+    With the forward kernel's 'resid' outputs (per-step alpha mantissas in
+    their window frame + per-window frames) streamed back in, the backward
+    pass is just the beta windows — no re-expand phase, ~1/3 less VPU work
+    on the VPU-bound scans (config.stream_residuals).
+
+    Emits ONE combined act tensor instead of (ph, pd): the horizontal act at
+    lane l scatters to token ``label[l-1]`` — the same token the diagonal
+    act at lane l-1 scatters to — so ``pc[l] = pd[l] + ph[l+1]`` collapses
+    the two scatter matmuls (classic_ctc_loss.py:565-669's blank/non-blank
+    split) into a single masked-one-hot einsum and halves the act HBM
+    traffic.  ``ph[0] == 0`` always (no open mass at lattice position 0), so
+    the roll wrap is clean; the label-length mask in the one-hot is
+    satisfied wherever ``ph[l+1]`` is nonzero (open mass at lane l+1 needs
+    l+1 <= label_length).
+    """
+    n_win = block_t // k_win
+
+    def kernel(
+        bi0_ref, bi1_ref, bie_ref, ebi_ref,
+        blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
+        sa0_ref, sa1_ref, saf_ref,
+        pc_ref, f0_ref, f1_ref, fe_ref,
+        b0_s, b1_s, e_s,
+    ):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            b0_s[:] = bi0_ref[:]
+            b1_s[:] = bi1_ref[:]
+            e_s[:] = bie_ref[:]
+
+        ebi = ebi_ref[:]  # [bb, 1] f32
+        lpad = b1_s.shape[1]
+
+        def bwd_window(wr, carry):
+            w = n_win - 1 - wr
+            b0, b1, eb = carry
+            (b0, b1), fb, s_arr = _open_window([b0, b1], eb, k_win, False)
+            s_hi, s_lo = _act_factor(saf_ref[w, :, :], fb, ebi)
+            for kk in range(k_win - 1, -1, -1):
+                k = w * k_win + kk
+                blank = blank_ref[:, k, :]
+                dc = dc_ref[:, k, :]
+                pt = pt_ref[:, k, :]
+                pm = pt * nb_ref[:]
+                do = dc * rep_ref[:]
+                a0 = sa0_ref[:, k, :]
+                a1 = sa1_ref[:, k, :]
+
+                arr = pltpu.roll(b1, shift=lpad - 1, axis=1) * s_arr
+                d = a0 * dc + a1 * do
+                ph_s = (a1 * pt * b1) * s_hi * s_lo
+                pd_s = d * arr * s_hi * s_lo
+                pc_ref[:, k, :] = pd_s + pltpu.roll(
+                    ph_s, shift=lpad - 1, axis=1
+                )
+
+                hc = blank * b0
+                n0 = hc + dc * arr
+                n1 = hc + pm * b1 + do * arr
+                b0, b1 = n0, n1
+            return b0, b1, fb
+
+        carry = (b0_s[:], b1_s[:], e_s[:])
+        if get_config().unroll:
+            for _wr in range(n_win):
+                carry = bwd_window(_wr, carry)
+        else:
+            carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
+        b0_s[:], b1_s[:], e_s[:] = carry
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            f0_ref[:] = b0_s[:]
+            f1_ref[:] = b1_s[:]
+            fe_ref[:] = e_s[:]
+
+    return kernel
+
+
+def _classic_bwd_call_streamed(
+    blank, dc, pt, nb, rep, sa0, sa1, saf, beta_init, ebi, *, bb, bt
+):
+    """Streamed-residual backward: returns (pc combined acts, beta-final
+    b0/b1/e)."""
+    cfg = get_config()
+    bpad, tpad, lpad = dc.shape
+    n_tb = tpad // bt
+    grid = (bpad // bb, n_tb)
+    big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
+    vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
+    kw = _k_win(bt)
+    n_w = bt // kw
+    frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
+
+    return pl.pallas_call(
+        _classic_bwd_kernel_streamed(bt, kw),
+        grid=grid,
+        in_specs=[vec, vec, vec, svec, small, big, big, vec, vec,
+                  big, big, frame],
+        out_specs=(big, vec, vec, vec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
+        ),
+        interpret=cfg.interpret,
+    )(beta_init[0], beta_init[1], beta_init[2], ebi,
+      blank, dc, pt, nb, rep, sa0, sa1, saf)
 
 
 def _assemble_with_blank_identity(
@@ -854,7 +1067,7 @@ def _assemble_with_blank_identity(
     return combined, fast_loss
 
 
-@jax.jit
+@_cfg_jit
 def _classic_grad_impl(ctx: CtcContext, pack):
     """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels.
 
@@ -869,6 +1082,7 @@ def _classic_grad_impl(ctx: CtcContext, pack):
         batch, num_t, lp1
     )
 
+    # streamed pack: (sa0, sa1, saf, loss); residual-free: (ck0/1/e, loss)
     ck0, ck1, cke, loss = pack
     ebi = _ebi_from_loss(loss, bpad)
     beta0 = _beta_init(ctx, bpad, lpad)
@@ -886,7 +1100,16 @@ def _classic_grad_impl(ctx: CtcContext, pack):
             "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGH
         )
 
-    if n_chunks == 1:
+    if _use_stream(n_chunks):
+        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        pc, f0, _f1, fe = _classic_bwd_call_streamed(
+            blank, dc, pt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
+        )
+        # single scatter: the combined act (see _classic_bwd_kernel_streamed)
+        sums = jnp.einsum(
+            "btl,blv->btv", pc, ohlm, precision=jax.lax.Precision.HIGH
+        )
+    elif n_chunks == 1:
         dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
         ph, pd, f0, _f1, fe = _classic_bwd_call(
             blank, dc, pt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
@@ -984,8 +1207,11 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
     n_win = block_t // k_win
 
     def kernel(i0_ref, ie_ref, blank_ref, dg_ref, *rest):
+        sa_ref = saf_ref = None
         if mode == "bound":
             b_ref, be_ref, f_ref, fe_ref, a_s, e_s = rest
+        elif mode == "resid":
+            sa_ref, saf_ref, f_ref, fe_ref, a_s, e_s = rest
         else:
             f_ref, fe_ref, a_s, e_s = rest
         j = pl.program_id(1)
@@ -1002,8 +1228,12 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
         def window(w, carry):
             a, e = carry
             (a,), f, s_arr = _open_window([a], e, k_win, True)
+            if mode == "resid":
+                saf_ref[w, :, :] = f
             for kk in range(k_win):
                 k = w * k_win + kk
+                if mode == "resid":
+                    sa_ref[:, k, :] = a
                 a = _simplified_win_step(
                     a, blank_ref[:, k, :], dg_ref[:, k, :], s_arr
                 )
@@ -1051,6 +1281,17 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None):
             jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
         out_specs = (bound, bound, vec, vec)
+    elif mode == "resid":
+        kw = _k_win(bt)
+        n_w = bt // kw
+        frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (j, i, 0))
+        out_shape = (
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tb * n_w, bpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        )
+        out_specs = (big, frame, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -1073,7 +1314,7 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None):
             # Mosaic's default 16 MB scoped-vmem cap rejects the backward
             # kernel at lane widths >= 512 (17.2 MB measured at B=256,
             # T=1000); the chip has far more physical VMEM, so raise it.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
     )(init[0], init[1], blank, dg)
@@ -1123,7 +1364,7 @@ def _simplified_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
     return final, cks
 
 
-@jax.jit
+@_cfg_jit
 def _simplified_loss_fast_impl(ctx: CtcContext):
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
@@ -1147,7 +1388,7 @@ def simplified_loss_fast(ctx: CtcContext) -> Array:
     return _simplified_loss_fast_impl(ctx)
 
 
-@jax.jit
+@_cfg_jit
 def _simplified_loss_and_pack_impl(ctx: CtcContext):
     """Loss via the bound-mode kernel plus the boundary-carry pack
     (see classic_loss_and_pack)."""
@@ -1156,6 +1397,14 @@ def _simplified_loss_and_pack_impl(ctx: CtcContext):
     bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
         batch, num_t, lp1
     )
+    if _use_stream(n_chunks):
+        probs, blank, ohlm = _simplified_gather_level(ctx, bpad, tpad, lpad)
+        dg = _simplified_chunk_transitions(probs, ohlm)
+        sa, saf, fin, fe = _simplified_fwd_call(
+            blank, dg, mode="resid", bb=bb, bt=bt
+        )
+        loss = _pick_loss_single(fin, fe, ctx, batch, lp1)
+        return loss, (sa, saf, loss)
     (fin, fe), cks = _simplified_fwd_scan(
         ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
     )
@@ -1229,7 +1478,7 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, beta_init, ebi, *, bb, bt):
             w = n_win - 1 - wr
             b, eb = carry
             (b,), fb, s_arr = _open_window([b], eb, kw, False)
-            s_act = _act_factor(saf[:, w, :], fb, ebi)
+            s_hi, s_lo = _act_factor(saf[:, w, :], fb, ebi)
             for kk in range(kw - 1, -1, -1):
                 k = w * kw + kk
                 blank = blank_ref[:, k, :]
@@ -1239,7 +1488,7 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, beta_init, ebi, *, bb, bt):
                 arr = pltpu.roll(b, shift=lpad_ - 1, axis=1) * s_arr
                 # normalised posterior act (simplified_ctc_loss.py:456-534);
                 # blank column recovered in XLA from the posterior identity
-                pd_ref[:, k, :] = (a * dg) * arr * s_act
+                pd_ref[:, k, :] = (a * dg) * arr * s_hi * s_lo
                 b = blank * b + dg * arr
             return b, fb
 
@@ -1278,13 +1527,96 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, beta_init, ebi, *, bb, bt):
             # Mosaic's default 16 MB scoped-vmem cap rejects the backward
             # kernel at lane widths >= 512 (17.2 MB measured at B=256,
             # T=1000); the chip has far more physical VMEM, so raise it.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], ebi, blank, dg, bnd, bnde)
 
 
-@jax.jit
+def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt):
+    """Streamed-residual simplified backward: beta-only scan reading the
+    forward kernel's per-step alpha mantissas + per-window frames.
+    Returns (pd acts, beta-final b/e)."""
+    cfg = get_config()
+    bpad, tpad, lpad = dg.shape
+    n_tb = tpad // bt
+    grid = (bpad // bb, n_tb)
+    big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
+    vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
+    kw = _k_win(bt)
+    n_w = bt // kw
+    frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
+    n_win = n_w
+
+    def kernel(
+        bi_ref, bie_ref, ebi_ref, blank_ref, dg_ref, sa_ref, saf_ref,
+        pd_ref, fin_ref, fe_ref,
+        b_s, e_s,
+    ):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            b_s[:] = bi_ref[:]
+            e_s[:] = bie_ref[:]
+
+        ebi = ebi_ref[:]
+        lpad_ = b_s.shape[1]
+
+        def bwd_window(wr, carry):
+            w = n_win - 1 - wr
+            b, eb = carry
+            (b,), fb, s_arr = _open_window([b], eb, kw, False)
+            s_hi, s_lo = _act_factor(saf_ref[w, :, :], fb, ebi)
+            for kk in range(kw - 1, -1, -1):
+                k = w * kw + kk
+                blank = blank_ref[:, k, :]
+                dg = dg_ref[:, k, :]
+                a = sa_ref[:, k, :]
+                arr = pltpu.roll(b, shift=lpad_ - 1, axis=1) * s_arr
+                pd_ref[:, k, :] = (a * dg) * arr * s_hi * s_lo
+                b = blank * b + dg * arr
+            return b, fb
+
+        carry = (b_s[:], e_s[:])
+        if get_config().unroll:
+            for _wr in range(n_win):
+                carry = bwd_window(_wr, carry)
+        else:
+            carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
+        b_s[:], e_s[:] = carry
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            fin_ref[:] = b_s[:]
+            fe_ref[:] = e_s[:]
+
+    big3 = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vec, vec, svec, small, big, big, frame],
+        out_specs=(big, vec, vec),
+        out_shape=(
+            big3,
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
+        ),
+        interpret=cfg.interpret,
+    )(beta_init[0], beta_init[1], ebi, blank, dg, sa, saf)
+
+
+@_cfg_jit
 def _simplified_grad_impl(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
@@ -1292,6 +1624,7 @@ def _simplified_grad_impl(ctx: CtcContext, pack):
         batch, num_t, lp1
     )
 
+    # streamed pack: (sa, saf, loss); residual-free: (ck, cke, loss)
     ck, cke, loss = pack
     b_hot, _, be0 = _beta_init(ctx, bpad, lpad)
     ebi = _ebi_from_loss(loss, bpad)
@@ -1302,7 +1635,13 @@ def _simplified_grad_impl(ctx: CtcContext, pack):
             "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGH
         )
 
-    if n_chunks == 1:
+    if _use_stream(n_chunks):
+        dg = _simplified_chunk_transitions(probs, ohlm)
+        pd, fin, fe = _simplified_bwd_call_streamed(
+            blank, dg, ck, cke, (b_hot, be0), ebi, bb=bb, bt=bt
+        )
+        sums = scatter(pd)
+    elif n_chunks == 1:
         dg = _simplified_chunk_transitions(probs, ohlm)
         pd, fin, fe = _simplified_bwd_call(
             blank, dg, ck, cke, (b_hot, be0), ebi, bb=bb, bt=bt

@@ -12,13 +12,18 @@ from typing import Optional
 import jax
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class KernelConfig:
     """Tuning knobs for the Pallas lattice kernels.
 
     ``use_pallas``: None = auto (Pallas on TPU, pure-XLA elsewhere);
     True/False force.  ``interpret``: run kernels in interpreter mode (CPU
     debugging/CI).  ``block_batch`` / ``block_time``: kernel tile sizes.
+
+    Frozen and hashable: the library's internal jit caches are keyed on the
+    whole config (see ``pallas_lattice._cfg_jit``), so ``config_override``
+    always reaches a kernel traced under the override — never a stale
+    executable compiled for a different config at the same shapes.
     """
 
     use_pallas: Optional[bool] = None
@@ -48,6 +53,15 @@ class KernelConfig:
     # of its `window`-lane neighbourhood within one window (vs the same
     # lattice point per-step at window=1).
     window: int = 8
+    # Stream per-step alpha residuals (f32 mantissas in-window-frame + per-
+    # window frames) from the forward kernel to HBM and skip the backward
+    # kernel's block re-expand phase entirely.  Trades O(B*T*L) HBM traffic
+    # (overlappable with compute) for ~1/3 of the backward kernel's VPU work
+    # — the scans are VPU-bound since the r2 traffic fixes.  Only applies to
+    # the single-chunk geometry; the chunked long-T path always uses the
+    # residual-free block-recompute scheme (streamed residuals at T=4000
+    # would need ~17 GB).
+    stream_residuals: bool = True
     # Runtime saturation guard (ops/topology.py): reroute to the exact
     # log-space path when a feasible sample's fast loss is non-finite
     # (logits saturated beyond float32 range, e.g. +-1e10 stability tests).
@@ -55,6 +69,21 @@ class KernelConfig:
     # (finite logits from a softmax head); the kernels themselves have
     # unlimited dynamic range via block-float carries.
     guard: bool = True
+    # VMEM working-set budget (MB) for the block-geometry fit model
+    # (pallas_lattice._fit_blocks) and the per-kernel Mosaic scoped-vmem
+    # ceiling passed as ``vmem_limit_bytes``.  The fit model is deliberately
+    # ~4x conservative; 36 MB admits the measured-optimal (64, 16) blocks at
+    # the benchmark shapes.  Mosaic's default 16 MB scoped-vmem cap rejects
+    # the backward kernel at lane widths >= 512, hence the raised limit.
+    vmem_budget_mb: int = 36
+    vmem_limit_mb: int = 64
+    # Use the log-space Pallas kernels (ops/log_lattice.py) as the guard's
+    # whole-batch exact reroute instead of the pure lax.scan path: same
+    # answers (log-space f32, nothing can flush), ~4x cheaper escalation
+    # when more than repair_bucket samples saturate (VERDICT r2 #3).  Costs
+    # two extra kernel compiles per geometry; disable to trade the rare-case
+    # cliff back for faster first-call compiles.
+    log_fallback: bool = True
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
@@ -66,24 +95,33 @@ class KernelConfig:
 
 
 def _env_default() -> KernelConfig:
-    cfg = KernelConfig()
+    kw = {}
     flag = os.environ.get("CTC_TPU_USE_PALLAS")
     if flag is not None:
-        cfg.use_pallas = flag not in ("0", "false", "False")
+        kw["use_pallas"] = flag not in ("0", "false", "False")
     if os.environ.get("CTC_TPU_PALLAS_INTERPRET") in ("1", "true", "True"):
-        cfg.interpret = True
-    cfg.block_batch = int(os.environ.get("CTC_TPU_BLOCK_BATCH", cfg.block_batch))
-    cfg.block_time = int(os.environ.get("CTC_TPU_BLOCK_TIME", cfg.block_time))
+        kw["interpret"] = True
     if os.environ.get("CTC_TPU_UNROLL") in ("0", "false", "False"):
-        cfg.unroll = False
-    cfg.window = int(os.environ.get("CTC_TPU_WINDOW", cfg.window))
-    cfg.repair_bucket = int(
-        os.environ.get("CTC_TPU_REPAIR_BUCKET", cfg.repair_bucket)
-    )
-    cfg.chunk_time = int(os.environ.get("CTC_TPU_CHUNK_TIME", cfg.chunk_time))
+        kw["unroll"] = False
     if os.environ.get("CTC_TPU_GUARD") in ("0", "false", "False"):
-        cfg.guard = False
-    return cfg
+        kw["guard"] = False
+    if os.environ.get("CTC_TPU_STREAM_RESIDUALS") in ("0", "false", "False"):
+        kw["stream_residuals"] = False
+    if os.environ.get("CTC_TPU_LOG_FALLBACK") in ("0", "false", "False"):
+        kw["log_fallback"] = False
+    for field, env in (
+        ("block_batch", "CTC_TPU_BLOCK_BATCH"),
+        ("block_time", "CTC_TPU_BLOCK_TIME"),
+        ("window", "CTC_TPU_WINDOW"),
+        ("repair_bucket", "CTC_TPU_REPAIR_BUCKET"),
+        ("chunk_time", "CTC_TPU_CHUNK_TIME"),
+        ("vmem_budget_mb", "CTC_TPU_VMEM_BUDGET_MB"),
+        ("vmem_limit_mb", "CTC_TPU_VMEM_LIMIT_MB"),
+    ):
+        val = os.environ.get(env)
+        if val is not None:
+            kw[field] = int(val)
+    return KernelConfig(**kw)
 
 
 _CONFIG = _env_default()
