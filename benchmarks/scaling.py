@@ -4,8 +4,13 @@ Measures the sharded mean-CTC-loss + gradient step at a fixed per-device
 batch while growing the mesh 1 -> N devices; linear scaling keeps ms/step
 constant (efficiency = t1 / tN).
 
-On a real TPU slice run it as-is (one process per host after
-``jax.distributed.initialize()``); locally it runs on virtual CPU devices:
+On a real TPU pod, launch one process per host with ``--multihost``: it
+calls :func:`tf_seq2seq_losses_tpu.parallel.init_distributed` (coordinator
+auto-detected on cloud TPU, or via ``CTC_TPU_COORDINATOR`` /
+``CTC_TPU_NUM_PROCESSES`` / ``CTC_TPU_PROCESS_ID``), builds one global mesh,
+feeds per-host batch shards, and gates printing on process 0.  Without a
+configured coordinator ``--multihost`` degrades to the single-process local
+mode.  Locally it runs on virtual CPU devices:
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python benchmarks/scaling.py --cpu
@@ -24,6 +29,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+parser.add_argument(
+    "--multihost",
+    action="store_true",
+    help="pod run: jax.distributed.initialize() (auto-detected coordinator "
+    "or CTC_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID env), global mesh over "
+    "all hosts, per-host batch shards, process-0-gated printing",
+)
 parser.add_argument("--per-device-batch", type=int, default=16)
 parser.add_argument("--time", type=int, default=100)
 parser.add_argument("--vocab", type=int, default=32)
@@ -40,11 +52,18 @@ if args.cpu:
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from tf_seq2seq_losses_tpu.parallel.distributed import (  # noqa: E402
+    host_local_batch_to_global,
+    init_distributed,
+    is_primary,
+)
 from tf_seq2seq_losses_tpu.parallel.sharding import (  # noqa: E402
     make_mesh,
     shard_batch,
     sharded_mean_ctc_loss,
 )
+
+MULTIHOST = init_distributed() if args.multihost else False
 
 
 def make_inputs(batch, max_t, vocab, seed=0):
@@ -62,10 +81,24 @@ def make_inputs(batch, max_t, vocab, seed=0):
 
 
 def step_ms(n_dev, reps=10):
-    mesh = make_mesh((n_dev,), ("data",), devices=jax.devices()[:n_dev])
+    if MULTIHOST:
+        # global mesh over every host's chips; each process contributes only
+        # its local batch shard (the standard multi-host input pipeline)
+        mesh = make_mesh((n_dev,), ("data",))
+        local = make_inputs(
+            args.per_device_batch * jax.local_device_count(),
+            args.time,
+            args.vocab,
+            seed=jax.process_index(),
+        )
+        placed = host_local_batch_to_global(
+            mesh, {k: np.asarray(v) for k, v in local.items()}
+        )
+    else:
+        mesh = make_mesh((n_dev,), ("data",), devices=jax.devices()[:n_dev])
+        batch = make_inputs(args.per_device_batch * n_dev, args.time, args.vocab)
+        placed = shard_batch(mesh, batch)
     loss_fn = sharded_mean_ctc_loss(mesh, topology="classic")
-    batch = make_inputs(args.per_device_batch * n_dev, args.time, args.vocab)
-    placed = shard_batch(mesh, batch)
 
     def fwd_grad():
         return jax.value_and_grad(
@@ -85,17 +118,27 @@ def step_ms(n_dev, reps=10):
 
 def main():
     n = len(jax.devices())
-    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n]
+    if MULTIHOST:
+        # one size: the whole pod (sub-pod meshes would need per-size
+        # process subsets); baseline for efficiency is a 1-host rerun
+        sizes = [n]
+    else:
+        sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n]
     base = None
-    print(f"devices: {n} x {jax.devices()[0].platform}; "
-          f"per-device batch {args.per_device_batch}, T={args.time}")
+    if is_primary():
+        print(
+            f"devices: {n} x {jax.devices()[0].platform} over "
+            f"{jax.process_count()} process(es); "
+            f"per-device batch {args.per_device_batch}, T={args.time}"
+        )
     for s in sizes:
         ms = step_ms(s)
         if base is None:
             base = ms
         eff = base / ms
-        print(f"N={s:<3d} global_batch={args.per_device_batch * s:<5d} "
-              f"{ms:8.2f} ms/step  weak-scaling efficiency {eff:5.2f}")
+        if is_primary():
+            print(f"N={s:<3d} global_batch={args.per_device_batch * s:<5d} "
+                  f"{ms:8.2f} ms/step  weak-scaling efficiency {eff:5.2f}")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,12 @@
-"""Distributed layer: mesh construction, sharded losses, DP x TP train step."""
+"""Distributed layer: mesh construction, sharded losses, DP x TP train step,
+multi-host initialisation."""
 
+from tf_seq2seq_losses_tpu.parallel.distributed import (
+    global_mesh,
+    host_local_batch_to_global,
+    init_distributed,
+    is_primary,
+)
 from tf_seq2seq_losses_tpu.parallel.sharding import (
     make_mesh,
     shard_batch,
@@ -13,6 +20,10 @@ from tf_seq2seq_losses_tpu.parallel.train import (
 )
 
 __all__ = [
+    "init_distributed",
+    "is_primary",
+    "global_mesh",
+    "host_local_batch_to_global",
     "make_mesh",
     "shard_batch",
     "sharded_ctc_loss",
