@@ -269,6 +269,9 @@ def gradient(topology, ctx: CtcContext, loss: Array = None, pack=None) -> Array:
     ``pack`` optionally carries the alpha tensors saved by the loss forward
     pass so the backward pass skips its own forward scan.
     """
+    direct = getattr(topology, "gradient_fast", None)
+    if direct is not None:
+        return direct(ctx, loss, pack)
     fast = getattr(topology, "gradient_log_fast", None)
     if fast is not None:
         return -jnp.exp(fast(ctx, loss, pack))

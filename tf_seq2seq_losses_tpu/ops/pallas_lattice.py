@@ -299,16 +299,16 @@ def _classic_chunk_transitions(probs, oh_label_masked, oh_prec):
     (repetition-masked diagonal — classic_ctc_loss.py:465-501) on the fly."""
     # one-hot selection of *probabilities*: each output has one nonzero
     # summand, so bf16x3 passes (HIGH) reproduce it to ~2^-21 relative --
-    # unlike the log-space gathers in ops/core.py, which must stay HIGHEST
-    dc = jnp.einsum(
-        "btv,blv->btl", probs, oh_label_masked,
+    # unlike the log-space gathers in ops/core.py, which must stay HIGHEST.
+    # Single concat matmul: probs ([B, T, V], the large V-proportional
+    # operand) is read ONCE for both gathers instead of twice.
+    lpad = oh_label_masked.shape[1]
+    oh_cat = jnp.concatenate([oh_label_masked, oh_prec], axis=1)
+    both = jnp.einsum(
+        "btv,blv->btl", probs, oh_cat,
         precision=jax.lax.Precision.HIGH,
     )
-    pt = jnp.einsum(
-        "btv,blv->btl", probs, oh_prec,
-        precision=jax.lax.Precision.HIGH,
-    )
-    return dc, pt
+    return both[:, :, :lpad], both[:, :, lpad:]
 
 
 def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
@@ -1067,12 +1067,14 @@ def _assemble_with_blank_identity(
     return combined, fast_loss
 
 
-@_cfg_jit
-def _classic_grad_impl(ctx: CtcContext, pack):
-    """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels.
+def _classic_grad_sums(ctx: CtcContext, pack):
+    """Shared kernel work of the gradient path: returns the token-scattered
+    act sums [bpad, tpad, V], the kernel-derived loss and the act
+    normaliser ``ebi``.
 
     ``pack = (cks0, cks1, ckse, loss)``: forward-pass checkpoints + loss.
-    Single-chunk: per-block boundary carries [n_tb, bpad, lpad]; chunked:
+    Streamed (_use_stream): per-step alpha residuals; single-chunk
+    residual-free: per-block boundary carries [n_tb, bpad, lpad]; chunked:
     per-chunk initial carries [n_chunks, bpad, lpad] (the chunk scan
     regenerates block boundaries per chunk with one extra forward kernel).
     """
@@ -1149,10 +1151,78 @@ def _classic_grad_impl(ctx: CtcContext, pack):
     fast_loss = -(
         jnp.log(f0[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
     )
+    return sums, fast_loss, ebi
+
+
+@_cfg_jit
+def _classic_grad_impl(ctx: CtcContext, pack):
+    """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels
+    (the log-form surface kept for ``gradient_log`` parity consumers)."""
+    batch, num_t, num_tokens = ctx.logproba.shape
+    sums, fast_loss, ebi = _classic_grad_sums(ctx, pack)
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     return _assemble_with_blank_identity(
         ctx, non_blank, fast_loss, batch, num_t, num_tokens
     )
+
+
+def _grad_direct_assemble(ctx, sums, loss_for_mask, fast_loss, ebi,
+                          batch, num_t, num_tokens):
+    """Probability-space gradient assembly — no log/exp passes over [B,T,V].
+
+    ``-grad = exp(loss + ebi*ln2) * sums`` for non-blank tokens: the acts
+    were kernel-normalised by ``2^-ebi`` with ``ebi = floor(-loss/ln2)``, so
+    the residual scale ``exp(loss + ebi*ln2)`` is a per-sample scalar in
+    (0.5, 1].  Blank column from the posterior identity ``sum_v -grad = 1``
+    (same argument as _assemble_with_blank_identity); infeasible samples and
+    steps past logit_length are exactly zero.
+    """
+    safe = jnp.where(jnp.isfinite(loss_for_mask), loss_for_mask, 0.0)
+    scale = jnp.exp(safe + ebi[:batch, 0] * LN2)
+    neg_nb = scale[:, None, None] * sums[:batch, :num_t]
+    token_is_blank = jnp.arange(num_tokens) == ctx.blank_index
+    s = jnp.sum(
+        jnp.where(token_is_blank[None, None, :], 0.0, neg_nb),
+        axis=2, keepdims=True,
+    )
+    neg = jnp.where(
+        token_is_blank[None, None, :], jnp.maximum(1.0 - s, 0.0), neg_nb
+    )
+    grad = -neg
+    grad = jnp.where(
+        jnp.isposinf(loss_for_mask)[:, None, None], 0.0, grad
+    )
+    return jnp.where(ctx.logit_length_mask[:, :, None], grad, 0.0)
+
+
+@_cfg_jit
+def _classic_grad_direct_impl(ctx: CtcContext, pack):
+    """(grad [B, T, V], fast_loss [B]) — the hot-path form: one per-sample
+    scalar multiply instead of the log->add->exp chain over [B, T, V]."""
+    batch, num_t, num_tokens = ctx.logproba.shape
+    sums, fast_loss, ebi = _classic_grad_sums(ctx, pack)
+    grad = _grad_direct_assemble(
+        ctx, sums, fast_loss, fast_loss, ebi, batch, num_t, num_tokens
+    )
+    return grad, fast_loss
+
+
+def classic_gradient_with_loss(ctx: CtcContext, loss=None, pack=None):
+    """Fused-kernel probability-space gradient (hot path).
+
+    Semantics identical to ``-exp(classic_gradient_log_with_loss(...))``
+    without the elementwise log/exp round-trip over [B, T, V].
+    """
+    batch, num_t, num_tokens = ctx.logproba.shape
+    if batch == 0 or num_t == 0:
+        zeros = jnp.zeros((batch, num_t, num_tokens), jnp.float32)
+        if loss is None:
+            loss = classic_mod.loss(ctx, classic_mod.alpha(ctx))
+        return zeros, loss
+    if pack is None:
+        _, pack = _classic_loss_and_pack_impl(ctx)
+    grad, fast_loss = _classic_grad_direct_impl(ctx, pack)
+    return grad, fast_loss
 
 
 def classic_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
@@ -1616,8 +1686,7 @@ def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt)
     )(beta_init[0], beta_init[1], ebi, blank, dg, sa, saf)
 
 
-@_cfg_jit
-def _simplified_grad_impl(ctx: CtcContext, pack):
+def _simplified_grad_sums(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
     bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
@@ -1678,10 +1747,44 @@ def _simplified_grad_impl(ctx: CtcContext, pack):
     fast_loss = -(
         jnp.log(fin[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
     )
+    return sums, fast_loss, ebi
+
+
+@_cfg_jit
+def _simplified_grad_impl(ctx: CtcContext, pack):
+    batch, num_t, num_tokens = ctx.logproba.shape
+    sums, fast_loss, ebi = _simplified_grad_sums(ctx, pack)
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     return _assemble_with_blank_identity(
         ctx, non_blank, fast_loss, batch, num_t, num_tokens
     )
+
+
+@_cfg_jit
+def _simplified_grad_direct_impl(ctx: CtcContext, pack):
+    batch, num_t, num_tokens = ctx.logproba.shape
+    sums, fast_loss, ebi = _simplified_grad_sums(ctx, pack)
+    grad = _grad_direct_assemble(
+        ctx, sums, fast_loss, fast_loss, ebi, batch, num_t, num_tokens
+    )
+    return grad, fast_loss
+
+
+def simplified_gradient_with_loss(ctx: CtcContext, loss=None, pack=None):
+    """Fused-kernel probability-space gradient (hot path); see
+    classic_gradient_with_loss."""
+    from tf_seq2seq_losses_tpu.ops import simplified as s
+
+    batch, num_t, num_tokens = ctx.logproba.shape
+    if batch == 0 or num_t == 0:
+        zeros = jnp.zeros((batch, num_t, num_tokens), jnp.float32)
+        if loss is None:
+            loss = s.loss(ctx, s.alpha(ctx))
+        return zeros, loss
+    if pack is None:
+        _, pack = _simplified_loss_and_pack_impl(ctx)
+    grad, fast_loss = _simplified_grad_direct_impl(ctx, pack)
+    return grad, fast_loss
 
 
 def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):

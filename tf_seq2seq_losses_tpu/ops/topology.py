@@ -273,6 +273,24 @@ class ClassicTopology:
             exact_fn=lambda c: _log().classic_gradient_log_exact(c),
         )
 
+    @staticmethod
+    def gradient_fast(ctx: CtcContext, loss=None, pack=None) -> Array:
+        """Probability-space gradient (hot path): the kernels' normalised
+        act sums become the gradient with one per-sample scalar multiply —
+        no log/exp elementwise passes over [B, T, V]."""
+
+        def pure(c: CtcContext = ctx):
+            pure_loss = _classic.loss(c, _classic.alpha(c))
+            return -jnp.exp(_core.gradient_log(ClassicTopology, c, pure_loss))
+
+        if not get_config().pallas_enabled():
+            return pure()
+        fast, fast_loss = _pallas().classic_gradient_with_loss(ctx, loss, pack)
+        return _guarded(
+            fast, pure, fast_loss, _classic_feasible(ctx), ctx,
+            exact_fn=lambda c: -jnp.exp(_log().classic_gradient_log_exact(c)),
+        )
+
 
 class SimplifiedTopology:
     name = "simplified"
@@ -339,6 +357,26 @@ class SimplifiedTopology:
         return _guarded(
             fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
             exact_fn=lambda c: _log().simplified_gradient_log_exact(c),
+        )
+
+    @staticmethod
+    def gradient_fast(ctx: CtcContext, loss=None, pack=None) -> Array:
+        """See ClassicTopology.gradient_fast."""
+
+        def pure(c: CtcContext = ctx):
+            pure_loss = _simplified.loss(c, _simplified.alpha(c))
+            return -jnp.exp(
+                _core.gradient_log(SimplifiedTopology, c, pure_loss)
+            )
+
+        if not get_config().pallas_enabled():
+            return pure()
+        fast, fast_loss = _pallas().simplified_gradient_with_loss(ctx, loss, pack)
+        return _guarded(
+            fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
+            exact_fn=lambda c: -jnp.exp(
+                _log().simplified_gradient_log_exact(c)
+            ),
         )
 
 
