@@ -13,6 +13,7 @@ function of its inputs — base_loss.py:140-184).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.conftest import generate_ctc_loss_inputs
 from tf_seq2seq_losses_tpu.ops import classic as classic_mod
@@ -76,6 +77,7 @@ def test_chunk_time_override_takes_effect_at_same_shape():
     )
 
 
+@pytest.mark.slow
 def test_gradient_config_retrace_and_parity():
     from tf_seq2seq_losses_tpu import api
 

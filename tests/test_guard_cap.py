@@ -92,6 +92,7 @@ def test_guard_dropped_with_warning_when_nothing_fits(monkeypatch):
     assert np.isfinite(got[finite_idx]).all()
 
 
+@pytest.mark.slow
 def test_gradient_repair_above_cap(monkeypatch):
     from tf_seq2seq_losses_tpu import classic_ctc_loss
 

@@ -90,7 +90,10 @@ def test_log_kernels_exact_on_saturated_inputs():
     )
 
 
-@pytest.mark.parametrize("topology", ["classic", "simplified"])
+@pytest.mark.parametrize(
+    "topology",
+    ["classic", pytest.param("simplified", marks=pytest.mark.slow)],
+)
 def test_escalation_routes_through_log_kernels(topology):
     """Every sample saturated + bucket=1 -> the >bucket branch; with
     log_fallback on, results must still match the pure reference."""
