@@ -29,17 +29,18 @@ bpad, tpad, lpad, bb, bt = pk._grad_geometry(B, T, ctx.label.shape[1])[:5]
 print(f"geometry: bpad={bpad} tpad={tpad} lpad={lpad} bb={bb} bt={bt} "
       f"k_win={pk._k_win(bt)}", flush=True)
 
-blank, dc, pt, nb, rep, ohl, ohp = jax.jit(
+blank, dcpt, nb, rep, ohl, ohp = jax.jit(
     lambda c: pk._classic_padded_inputs(c, bpad, tpad, lpad)
 )(ctx)
-jax.block_until_ready(dc)
+jax.block_until_ready(dcpt)
+dc = dcpt
 
 bnd = jax.jit(
     lambda *a: pk._classic_fwd_call(*a, mode="bound", bb=bb, bt=bt)
-)(blank, dc, pt, nb, rep)
+)(blank, dcpt, nb, rep)
 res = jax.jit(
     lambda *a: pk._classic_fwd_call(*a, mode="resid", bb=bb, bt=bt)
-)(blank, dc, pt, nb, rep)
+)(blank, dcpt, nb, rep)
 jax.block_until_ready(res)
 ebi = jnp.zeros((bpad, 1), jnp.float32)
 binit = pk._beta_init(ctx, bpad, lpad)
@@ -71,16 +72,16 @@ def timed(fn, n_hi=16, reps=3):
 
 rows = [
     ("fwd final", lambda x: pk._classic_fwd_call(
-        blank, x, pt, nb, rep, mode="final", bb=bb, bt=bt)),
+        blank, x, nb, rep, mode="final", bb=bb, bt=bt)),
     ("fwd bound", lambda x: pk._classic_fwd_call(
-        blank, x, pt, nb, rep, mode="bound", bb=bb, bt=bt)),
+        blank, x, nb, rep, mode="bound", bb=bb, bt=bt)),
     ("fwd resid", lambda x: pk._classic_fwd_call(
-        blank, x, pt, nb, rep, mode="resid", bb=bb, bt=bt)),
+        blank, x, nb, rep, mode="resid", bb=bb, bt=bt)),
     ("bwd recompute", lambda x: pk._classic_bwd_call(
-        blank, x, pt, nb, rep, bnd[0], bnd[1], bnd[2], binit, ebi,
+        blank, x, nb, rep, bnd[0], bnd[1], bnd[2], binit, ebi,
         bb=bb, bt=bt)),
     ("bwd streamed", lambda x: pk._classic_bwd_call_streamed(
-        blank, x, pt, nb, rep, res[0], res[1], res[2], binit, ebi,
+        blank, x, nb, rep, res[0], res[1], res[2], binit, ebi,
         bb=bb, bt=bt)),
 ]
 for name, fn in rows:

@@ -182,6 +182,49 @@ def _use_stream(n_chunks: int) -> bool:
     return get_config().stream_residuals and n_chunks == 1
 
 
+def _sort_ctx(ctx: CtcContext):
+    """(ctx sorted by logit_length ascending, inverse permutation).
+
+    Sorting makes batch blocks length-homogeneous so the kernels' whole-cell
+    skip (see _classic_fwd_kernel) actually fires; stable order keeps the
+    permutation deterministic between the pack producer and consumer.
+    ``raw_logproba`` (parity/debug only, unused by the kernel path) is
+    aliased to the gathered ``logproba`` instead of paying a second
+    [B, T, V] gather."""
+    perm = jnp.argsort(ctx.logit_length, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+
+    def take(name, x):
+        return jnp.take(x, perm, axis=0)
+
+    fields = {
+        name: take(name, getattr(ctx, name))
+        for name in ctx._fields
+        if name not in ("blank_index", "raw_logproba")
+    }
+    fields["blank_index"] = ctx.blank_index
+    fields["raw_logproba"] = fields["logproba"]
+    return CtcContext(**fields), inv
+
+
+def _sort_active(ctx: CtcContext) -> bool:
+    """Static cost model for batch sorting: the permute passes cost
+    ~2 x [B, T, V] of HBM, the skip saves ~19% of the (V-independent,
+    L-proportional) kernel time.  Measured on v5e: sorting wins at
+    V=32 / L~256 and loses at V=128 / L~256; the crossover sits around
+    ``4 V ~ Lpad``."""
+    if not get_config().sort_by_length:
+        return False
+    num_tokens = ctx.logproba.shape[2]
+    lpad = _round_up(ctx.label.shape[1], 128)
+    return num_tokens * 4 <= lpad
+
+
+def _padded_lens(ctx: CtcContext, bpad: int) -> Array:
+    lens = ctx.logit_length.astype(jnp.int32)
+    return jnp.pad(lens, (0, bpad - lens.shape[0]))[:, None]
+
+
 # ---------------------------------------------------------------------------
 # block-float primitives (inside kernels)
 # ---------------------------------------------------------------------------
@@ -292,23 +335,26 @@ def _classic_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
 
 
 def _classic_chunk_transitions(probs, oh_label_masked, oh_prec):
-    """(dc, pt) for a probability span: dc = expected-token probability
-    (length-masked), pt = preceded-token probability; the kernel derives
-    ``pm = pt * nb_mask`` (repeat-horizontal, blank excluded —
-    classic_ctc_loss.py:528-543) and ``do = dc * rep_mask``
-    (repetition-masked diagonal — classic_ctc_loss.py:465-501) on the fly."""
-    # one-hot selection of *probabilities*: each output has one nonzero
-    # summand, so bf16x3 passes (HIGH) reproduce it to ~2^-21 relative --
-    # unlike the log-space gathers in ops/core.py, which must stay HIGHEST.
-    # Single concat matmul: probs ([B, T, V], the large V-proportional
-    # operand) is read ONCE for both gathers instead of twice.
-    lpad = oh_label_masked.shape[1]
+    """``dcpt [B, T, 2*Lpad]``: expected-token probabilities (first lane
+    half, length-masked) and preceded-token probabilities (second half) from
+    ONE concat matmul.  The kernels derive ``pm = pt * nb_mask``
+    (repeat-horizontal, blank excluded — classic_ctc_loss.py:528-543) and
+    ``do = dc * rep_mask`` (repetition-masked diagonal —
+    classic_ctc_loss.py:465-501) on the fly, slicing the halves on the lane
+    axis (static, 128-aligned).
+
+    One matmul reads the V-proportional ``probs`` operand once; feeding the
+    un-split [B, T, 2L] tensor straight to the kernels avoids the two XLA
+    slice copies that made the split form 0.85 ms slower at V=32.
+    One-hot selection of *probabilities*: each output has one nonzero
+    summand, so bf16x3 passes (HIGH) reproduce it to ~2^-21 relative —
+    unlike the log-space gathers in ops/core.py, which must stay HIGHEST.
+    """
     oh_cat = jnp.concatenate([oh_label_masked, oh_prec], axis=1)
-    both = jnp.einsum(
+    return jnp.einsum(
         "btv,blv->btl", probs, oh_cat,
         precision=jax.lax.Precision.HIGH,
     )
-    return both[:, :, :lpad], both[:, :, lpad:]
 
 
 def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
@@ -317,8 +363,8 @@ def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
     probs, blank, ohlm, ohp, nb_mask, rep_mask = _classic_gather_level(
         ctx, bpad, tpad, lpad
     )
-    dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
-    return blank, dc, pt, nb_mask, rep_mask, ohlm, ohp
+    dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
+    return blank, dcpt, nb_mask, rep_mask, ohlm, ohp
 
 
 def _simplified_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
@@ -477,8 +523,9 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
     """
     n_win = block_t // k_win
 
-    def kernel(i0_ref, i1_ref, ie_ref, blank_ref, dc_ref, pt_ref, nb_ref,
+    def kernel(i0_ref, i1_ref, ie_ref, lens_ref, blank_ref, dcpt_ref, nb_ref,
                rep_ref, *rest):
+        lp = dcpt_ref.shape[2] // 2
         sa0_ref = sa1_ref = saf_ref = None
         if mode == "bound":
             b0_ref, b1_ref, be_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
@@ -501,6 +548,16 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
             b1_ref[0, :, :] = a1_s[:]
             be_ref[0, :, :] = e_s[:]
 
+        # Whole-cell skip: steps at t >= logit_length see forced-blank
+        # transitions (blank=1, rest=0); one such step sends the carry to
+        # its fixed point (a0+a1, 0), so a cell whose every step lies past
+        # the block's max length AND that starts after at least one no-op
+        # step (strict <) is provably an identity.  With the batch sorted
+        # by length (config.sort_by_length) this skips ~19% of cells at the
+        # reference length distribution.  'bound' mode (chunked path) stays
+        # unconditional: its boundary pack is consumed block-by-block.
+        run = jnp.max(lens_ref[:]) >= j * block_t
+
         def window(w, carry):
             a0, a1, e = carry
             (a0, a1), f, s_arr = _open_window([a0, a1], e, k_win, True)
@@ -512,19 +569,25 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
                     sa0_ref[:, k, :] = a0
                     sa1_ref[:, k, :] = a1
                 blank = blank_ref[:, k, :]  # [bb, 1]
-                dc = dc_ref[:, k, :]  # [bb, Lpad]
-                pm = pt_ref[:, k, :] * nb_ref[:]
+                dc = dcpt_ref[:, k, :lp]  # [bb, Lpad]
+                pm = dcpt_ref[:, k, lp:] * nb_ref[:]
                 do = dc * rep_ref[:]
                 a0, a1 = _classic_win_step(a0, a1, blank, dc, pm, do, s_arr)
             return a0, a1, f
 
-        carry = (a0_s[:], a1_s[:], e_s[:])
-        if get_config().unroll:
-            for _w in range(n_win):
-                carry = window(_w, carry)
+        def run_block():
+            carry = (a0_s[:], a1_s[:], e_s[:])
+            if get_config().unroll:
+                for _w in range(n_win):
+                    carry = window(_w, carry)
+            else:
+                carry = jax.lax.fori_loop(0, n_win, window, carry)
+            a0_s[:], a1_s[:], e_s[:] = carry
+
+        if mode == "bound":
+            run_block()
         else:
-            carry = jax.lax.fori_loop(0, n_win, window, carry)
-        a0_s[:], a1_s[:], e_s[:] = carry
+            pl.when(run)(run_block)
 
         if mode == "final":
             f0_ref[:] = a0_s[:]
@@ -561,16 +624,24 @@ def _alpha_init(bpad: int, lpad: int):
     )
 
 
-def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt, init=None):
+def _classic_fwd_call(blank, dcpt, nb, rep, *, mode, bb, bt, init=None,
+                      lens=None):
     cfg = get_config()
-    bpad, tpad, lpad = dc.shape
+    bpad, tpad, lpad2 = dcpt.shape
+    lpad = lpad2 // 2
     if init is None:
         init = _alpha_init(bpad, lpad)
+    if lens is None:
+        # no skip information: every cell runs (max >= 0 >= j*bt only for
+        # j = 0, so use the sentinel "whole axis" length)
+        lens = jnp.full((bpad, 1), tpad, jnp.int32)
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
+    big2 = pl.BlockSpec((bb, bt, 2 * lpad), lambda i, j: (i, j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
     # time-block index leads so the trailing (bb, lpad) block satisfies
     # Mosaic's (8, 128) tiling constraint
     bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (j, i, 0))
@@ -612,7 +683,7 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt, init=None):
     return pl.pallas_call(
         _classic_fwd_kernel(mode, bt, _k_win(bt)),
         grid=grid,
-        in_specs=[vec, vec, vec, small, big, big, vec, vec],
+        in_specs=[vec, vec, vec, svec, small, big2, vec, vec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -628,7 +699,7 @@ def _classic_fwd_call(blank, dc, pt, nb, rep, *, mode, bb, bt, init=None):
             vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
-    )(init[0], init[1], init[2], blank, dc, pt, nb, rep)
+    )(init[0], init[1], init[2], lens, blank, dcpt, nb, rep)
 
 
 def _pick_loss(f0, f1, fe, ctx, batch, lp1):
@@ -647,14 +718,14 @@ def _classic_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
         ctx, bpad, tpad, lpad
     )
     if n_chunks == 1:
-        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
         if emit_checkpoints:
             b0, b1, be, f0, f1, fe = _classic_fwd_call(
-                blank, dc, pt, nb, rep, mode="bound", bb=bb, bt=bt
+                blank, dcpt, nb, rep, mode="bound", bb=bb, bt=bt
             )
             return (f0, f1, fe), (b0, b1, be)
         return _classic_fwd_call(
-            blank, dc, pt, nb, rep, mode="final", bb=bb, bt=bt
+            blank, dcpt, nb, rep, mode="final", bb=bb, bt=bt
         ), None
 
     num_v = probs.shape[2]
@@ -665,9 +736,9 @@ def _classic_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
             probs, (0, t0, 0), (bpad, chunk_t, num_v)
         )
         blank_c = jax.lax.dynamic_slice(blank, (0, t0, 0), (bpad, chunk_t, 1))
-        dc, pt = _classic_chunk_transitions(probs_c, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs_c, ohlm, ohp)
         fin = _classic_fwd_call(
-            blank_c, dc, pt, nb, rep, mode="final", init=carry, bb=bb, bt=bt
+            blank_c, dcpt, nb, rep, mode="final", init=carry, bb=bb, bt=bt
         )
         return fin, (carry if emit_checkpoints else None)
 
@@ -719,15 +790,22 @@ def _classic_loss_and_pack_impl(ctx: CtcContext):
         batch, num_t, lp1
     )
     if _use_stream(n_chunks):
+        inv = None
+        if _sort_active(ctx):
+            ctx, inv = _sort_ctx(ctx)
         probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
             ctx, bpad, tpad, lpad
         )
-        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
         sa0, sa1, saf, f0, f1, fe = _classic_fwd_call(
-            blank, dc, pt, nb, rep, mode="resid", bb=bb, bt=bt
+            blank, dcpt, nb, rep, mode="resid", bb=bb, bt=bt,
+            lens=_padded_lens(ctx, bpad),
         )
-        loss = _pick_loss(f0, f1, fe, ctx, batch, lp1)
-        return loss, (sa0, sa1, saf, loss)
+        loss_s = _pick_loss(f0, f1, fe, ctx, batch, lp1)
+        loss = loss_s if inv is None else jnp.take(loss_s, inv)
+        # pack stays in SORTED order (incl. its loss copy): the grad impl
+        # re-derives the same stable permutation from the unsorted ctx
+        return loss, (sa0, sa1, saf, loss_s)
     (f0, f1, fe), cks = _classic_fwd_scan(
         ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
     )
@@ -769,11 +847,12 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
 
     def kernel(
         bi0_ref, bi1_ref, bie_ref, ebi_ref,
-        blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
+        blank_ref, dcpt_ref, nb_ref, rep_ref,
         bb0_ref, bb1_ref, bbe_ref,
         ph_ref, pd_ref, f0_ref, f1_ref, fe_ref,
         sa0, sa1, saf, b0_s, b1_s, e_s,
     ):
+        lp = dcpt_ref.shape[2] // 2
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -792,8 +871,8 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
                 sa0[:, k, :] = a0
                 sa1[:, k, :] = a1
                 blank = blank_ref[:, k, :]
-                dc = dc_ref[:, k, :]
-                pm = pt_ref[:, k, :] * nb_ref[:]
+                dc = dcpt_ref[:, k, :lp]
+                pm = dcpt_ref[:, k, lp:] * nb_ref[:]
                 do = dc * rep_ref[:]
                 a0, a1 = _classic_win_step(a0, a1, blank, dc, pm, do, s_arr)
             return a0, a1, f
@@ -817,8 +896,8 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
             for kk in range(k_win - 1, -1, -1):
                 k = w * k_win + kk
                 blank = blank_ref[:, k, :]
-                dc = dc_ref[:, k, :]
-                pt = pt_ref[:, k, :]
+                dc = dcpt_ref[:, k, :lp]
+                pt = dcpt_ref[:, k, lp:]
                 pm = pt * nb_ref[:]
                 do = dc * rep_ref[:]
                 a0 = sa0[:, k, :]
@@ -866,16 +945,18 @@ def _beta_init(ctx: CtcContext, bpad: int, lpad: int):
 
 
 def _classic_bwd_call(
-    blank, dc, pt, nb, rep, bnd0, bnd1, bnde, beta_init, ebi, *, bb, bt
+    blank, dcpt, nb, rep, bnd0, bnd1, bnde, beta_init, ebi, *, bb, bt
 ):
     """beta_init: (b0, b1, e) [bpad, lpad] carry at the end of this span;
     ebi: [bpad, 1] f32 act normaliser; bnd*: [n_tb, bpad, lpad] boundary
     carries.  Returns (ph, pd, beta-final b0/b1/e)."""
     cfg = get_config()
-    bpad, tpad, lpad = dc.shape
+    bpad, tpad, lpad2 = dcpt.shape
+    lpad = lpad2 // 2
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    big2 = pl.BlockSpec((bb, bt, 2 * lpad), lambda i, j: (i, n_tb - 1 - j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
     svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
@@ -886,7 +967,7 @@ def _classic_bwd_call(
     return pl.pallas_call(
         _classic_bwd_kernel(bt, kw),
         grid=grid,
-        in_specs=[vec, vec, vec, svec, small, big, big, vec, vec,
+        in_specs=[vec, vec, vec, svec, small, big2, vec, vec,
                   bound, bound, bound],
         out_specs=(big, big, vec, vec, vec),
         out_shape=(
@@ -912,7 +993,7 @@ def _classic_bwd_call(
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], beta_init[2], ebi,
-      blank, dc, pt, nb, rep, bnd0, bnd1, bnde)
+      blank, dcpt, nb, rep, bnd0, bnd1, bnde)
 
 
 def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
@@ -936,12 +1017,13 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
     n_win = block_t // k_win
 
     def kernel(
-        bi0_ref, bi1_ref, bie_ref, ebi_ref,
-        blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
+        bi0_ref, bi1_ref, bie_ref, ebi_ref, lens_ref,
+        blank_ref, dcpt_ref, nb_ref, rep_ref,
         sa0_ref, sa1_ref, saf_ref,
         pc_ref, f0_ref, f1_ref, fe_ref,
         b0_s, b1_s, e_s,
     ):
+        lp = dcpt_ref.shape[2] // 2
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -953,6 +1035,16 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
         ebi = ebi_ref[:]  # [bb, 1] f32
         lpad = b1_s.shape[1]
 
+        # Skip cells wholly past the block max length (the backward no-op
+        # step (b0, b1) -> (b0, b0) is a fixed point after one application;
+        # the highest time block always executes to apply it).  Acts for
+        # skipped cells are zeroed: those gradient rows are masked anyway,
+        # but the scatter einsum must not read uninitialised VMEM.
+        tb = pl.num_programs(1) - 1 - j
+        run = jnp.logical_or(
+            tb * block_t < jnp.max(lens_ref[:]), j == 0
+        )
+
         def bwd_window(wr, carry):
             w = n_win - 1 - wr
             b0, b1, eb = carry
@@ -961,8 +1053,8 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
             for kk in range(k_win - 1, -1, -1):
                 k = w * k_win + kk
                 blank = blank_ref[:, k, :]
-                dc = dc_ref[:, k, :]
-                pt = pt_ref[:, k, :]
+                dc = dcpt_ref[:, k, :lp]
+                pt = dcpt_ref[:, k, lp:]
                 pm = pt * nb_ref[:]
                 do = dc * rep_ref[:]
                 a0 = sa0_ref[:, k, :]
@@ -982,13 +1074,19 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
                 b0, b1 = n0, n1
             return b0, b1, fb
 
-        carry = (b0_s[:], b1_s[:], e_s[:])
-        if get_config().unroll:
-            for _wr in range(n_win):
-                carry = bwd_window(_wr, carry)
-        else:
-            carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
-        b0_s[:], b1_s[:], e_s[:] = carry
+        @pl.when(run)
+        def _():
+            carry = (b0_s[:], b1_s[:], e_s[:])
+            if get_config().unroll:
+                for _wr in range(n_win):
+                    carry = bwd_window(_wr, carry)
+            else:
+                carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
+            b0_s[:], b1_s[:], e_s[:] = carry
+
+        @pl.when(jnp.logical_not(run))
+        def _():
+            pc_ref[:] = jnp.zeros_like(pc_ref)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -1000,15 +1098,17 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
 
 
 def _classic_bwd_call_streamed(
-    blank, dc, pt, nb, rep, sa0, sa1, saf, beta_init, ebi, *, bb, bt
+    blank, dcpt, nb, rep, sa0, sa1, saf, beta_init, ebi, lens, *, bb, bt
 ):
     """Streamed-residual backward: returns (pc combined acts, beta-final
     b0/b1/e)."""
     cfg = get_config()
-    bpad, tpad, lpad = dc.shape
+    bpad, tpad, lpad2 = dcpt.shape
+    lpad = lpad2 // 2
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    big2 = pl.BlockSpec((bb, bt, 2 * lpad), lambda i, j: (i, n_tb - 1 - j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
     svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
@@ -1019,7 +1119,7 @@ def _classic_bwd_call_streamed(
     return pl.pallas_call(
         _classic_bwd_kernel_streamed(bt, kw),
         grid=grid,
-        in_specs=[vec, vec, vec, svec, small, big, big, vec, vec,
+        in_specs=[vec, vec, vec, svec, svec, small, big2, vec, vec,
                   big, big, frame],
         out_specs=(big, vec, vec, vec),
         out_shape=(
@@ -1038,8 +1138,8 @@ def _classic_bwd_call_streamed(
             vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
-    )(beta_init[0], beta_init[1], beta_init[2], ebi,
-      blank, dc, pt, nb, rep, sa0, sa1, saf)
+    )(beta_init[0], beta_init[1], beta_init[2], ebi, lens,
+      blank, dcpt, nb, rep, sa0, sa1, saf)
 
 
 def _assemble_with_blank_identity(
@@ -1103,18 +1203,19 @@ def _classic_grad_sums(ctx: CtcContext, pack):
         )
 
     if _use_stream(n_chunks):
-        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
         pc, f0, _f1, fe = _classic_bwd_call_streamed(
-            blank, dc, pt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
+            blank, dcpt, nb, rep, ck0, ck1, cke, beta0, ebi,
+            _padded_lens(ctx, bpad), bb=bb, bt=bt
         )
         # single scatter: the combined act (see _classic_bwd_kernel_streamed)
         sums = jnp.einsum(
             "btl,blv->btv", pc, ohlm, precision=jax.lax.Precision.HIGH
         )
     elif n_chunks == 1:
-        dc, pt = _classic_chunk_transitions(probs, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
         ph, pd, f0, _f1, fe = _classic_bwd_call(
-            blank, dc, pt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
+            blank, dcpt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
         )
         sums = scatter(ph, pd)
     else:
@@ -1129,13 +1230,13 @@ def _classic_grad_sums(ctx: CtcContext, pack):
             blank_c = jax.lax.dynamic_slice(
                 blank, (0, t0, 0), (bpad, chunk_t, 1)
             )
-            dc, pt = _classic_chunk_transitions(probs_c, ohlm, ohp)
+            dcpt = _classic_chunk_transitions(probs_c, ohlm, ohp)
             b0c, b1c, bec, _, _, _ = _classic_fwd_call(
-                blank_c, dc, pt, nb, rep, mode="bound",
+                blank_c, dcpt, nb, rep, mode="bound",
                 init=(ck0[cr], ck1[cr], cke[cr]), bb=bb, bt=bt,
             )
             ph, pd, fb0, fb1, fbe = _classic_bwd_call(
-                blank_c, dc, pt, nb, rep, b0c, b1c, bec, carry, ebi,
+                blank_c, dcpt, nb, rep, b0c, b1c, bec, carry, ebi,
                 bb=bb, bt=bt,
             )
             return (fb0, fb1, fbe), scatter(ph, pd)
@@ -1154,16 +1255,29 @@ def _classic_grad_sums(ctx: CtcContext, pack):
     return sums, fast_loss, ebi
 
 
+def _maybe_sort_for_grad(ctx: CtcContext):
+    batch, num_t, _ = ctx.logproba.shape
+    n_chunks = _grad_geometry(batch, num_t, ctx.label.shape[1])[5]
+    if _use_stream(n_chunks) and _sort_active(ctx):
+        return _sort_ctx(ctx)
+    return ctx, None
+
+
 @_cfg_jit
 def _classic_grad_impl(ctx: CtcContext, pack):
     """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels
     (the log-form surface kept for ``gradient_log`` parity consumers)."""
     batch, num_t, num_tokens = ctx.logproba.shape
+    ctx, inv = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _classic_grad_sums(ctx, pack)
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
-    return _assemble_with_blank_identity(
+    combined, fast_loss = _assemble_with_blank_identity(
         ctx, non_blank, fast_loss, batch, num_t, num_tokens
     )
+    if inv is not None:
+        combined = jnp.take(combined, inv, axis=0)
+        fast_loss = jnp.take(fast_loss, inv)
+    return combined, fast_loss
 
 
 def _grad_direct_assemble(ctx, sums, loss_for_mask, fast_loss, ebi,
@@ -1200,10 +1314,14 @@ def _classic_grad_direct_impl(ctx: CtcContext, pack):
     """(grad [B, T, V], fast_loss [B]) — the hot-path form: one per-sample
     scalar multiply instead of the log->add->exp chain over [B, T, V]."""
     batch, num_t, num_tokens = ctx.logproba.shape
+    ctx, inv = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _classic_grad_sums(ctx, pack)
     grad = _grad_direct_assemble(
         ctx, sums, fast_loss, fast_loss, ebi, batch, num_t, num_tokens
     )
+    if inv is not None:
+        grad = jnp.take(grad, inv, axis=0)
+        fast_loss = jnp.take(fast_loss, inv)
     return grad, fast_loss
 
 
@@ -1276,7 +1394,7 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
     (simplified_ctc_loss.py:358-438)."""
     n_win = block_t // k_win
 
-    def kernel(i0_ref, ie_ref, blank_ref, dg_ref, *rest):
+    def kernel(i0_ref, ie_ref, lens_ref, blank_ref, dg_ref, *rest):
         sa_ref = saf_ref = None
         if mode == "bound":
             b_ref, be_ref, f_ref, fe_ref, a_s, e_s = rest
@@ -1295,6 +1413,9 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
             b_ref[0, :, :] = a_s[:]
             be_ref[0, :, :] = e_s[:]
 
+        # whole-cell skip past the block max length (see _classic_fwd_kernel)
+        run = jnp.max(lens_ref[:]) >= j * block_t
+
         def window(w, carry):
             a, e = carry
             (a,), f, s_arr = _open_window([a], e, k_win, True)
@@ -1309,13 +1430,19 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
                 )
             return a, f
 
-        carry = (a_s[:], e_s[:])
-        if get_config().unroll:
-            for _w in range(n_win):
-                carry = window(_w, carry)
+        def run_block():
+            carry = (a_s[:], e_s[:])
+            if get_config().unroll:
+                for _w in range(n_win):
+                    carry = window(_w, carry)
+            else:
+                carry = jax.lax.fori_loop(0, n_win, window, carry)
+            a_s[:], e_s[:] = carry
+
+        if mode == "bound":
+            run_block()
         else:
-            carry = jax.lax.fori_loop(0, n_win, window, carry)
-        a_s[:], e_s[:] = carry
+            pl.when(run)(run_block)
 
         if mode == "final":
             f_ref[:] = a_s[:]
@@ -1330,17 +1457,20 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
     return kernel
 
 
-def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None):
+def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None, lens=None):
     cfg = get_config()
     bpad, tpad, lpad = dg.shape
     if init is None:
         a0, _, e0 = _alpha_init(bpad, lpad)
         init = (a0, e0)
+    if lens is None:
+        lens = jnp.full((bpad, 1), tpad, jnp.int32)
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, j, 0))
     small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, j, 0))
     vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
     bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (j, i, 0))
 
     if mode == "bound":
@@ -1372,7 +1502,7 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None):
     return pl.pallas_call(
         _simplified_fwd_kernel(mode, bt, _k_win(bt)),
         grid=grid,
-        in_specs=[vec, vec, small, big],
+        in_specs=[vec, vec, svec, small, big],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -1387,7 +1517,7 @@ def _simplified_fwd_call(blank, dg, *, mode, bb, bt, init=None):
             vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
-    )(init[0], init[1], blank, dg)
+    )(init[0], init[1], lens, blank, dg)
 
 
 def _pick_loss_single(fin, fe, ctx, batch, lp1):
@@ -1468,13 +1598,18 @@ def _simplified_loss_and_pack_impl(ctx: CtcContext):
         batch, num_t, lp1
     )
     if _use_stream(n_chunks):
+        inv = None
+        if _sort_active(ctx):
+            ctx, inv = _sort_ctx(ctx)
         probs, blank, ohlm = _simplified_gather_level(ctx, bpad, tpad, lpad)
         dg = _simplified_chunk_transitions(probs, ohlm)
         sa, saf, fin, fe = _simplified_fwd_call(
-            blank, dg, mode="resid", bb=bb, bt=bt
+            blank, dg, mode="resid", bb=bb, bt=bt,
+            lens=_padded_lens(ctx, bpad),
         )
-        loss = _pick_loss_single(fin, fe, ctx, batch, lp1)
-        return loss, (sa, saf, loss)
+        loss_s = _pick_loss_single(fin, fe, ctx, batch, lp1)
+        loss = loss_s if inv is None else jnp.take(loss_s, inv)
+        return loss, (sa, saf, loss_s)
     (fin, fe), cks = _simplified_fwd_scan(
         ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
     )
@@ -1603,7 +1738,8 @@ def _simplified_bwd_call(blank, dg, bnd, bnde, beta_init, ebi, *, bb, bt):
     )(beta_init[0], beta_init[1], ebi, blank, dg, bnd, bnde)
 
 
-def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt):
+def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, lens,
+                                  *, bb, bt):
     """Streamed-residual simplified backward: beta-only scan reading the
     forward kernel's per-step alpha mantissas + per-window frames.
     Returns (pd acts, beta-final b/e)."""
@@ -1621,7 +1757,8 @@ def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt)
     n_win = n_w
 
     def kernel(
-        bi_ref, bie_ref, ebi_ref, blank_ref, dg_ref, sa_ref, saf_ref,
+        bi_ref, bie_ref, ebi_ref, lens_ref, blank_ref, dg_ref, sa_ref,
+        saf_ref,
         pd_ref, fin_ref, fe_ref,
         b_s, e_s,
     ):
@@ -1631,6 +1768,11 @@ def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt)
         def _():
             b_s[:] = bi_ref[:]
             e_s[:] = bie_ref[:]
+
+        tb = pl.num_programs(1) - 1 - j
+        run = jnp.logical_or(
+            tb * bt < jnp.max(lens_ref[:]), j == 0
+        )
 
         ebi = ebi_ref[:]
         lpad_ = b_s.shape[1]
@@ -1650,13 +1792,19 @@ def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt)
                 b = blank * b + dg * arr
             return b, fb
 
-        carry = (b_s[:], e_s[:])
-        if get_config().unroll:
-            for _wr in range(n_win):
-                carry = bwd_window(_wr, carry)
-        else:
-            carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
-        b_s[:], e_s[:] = carry
+        @pl.when(run)
+        def _():
+            carry = (b_s[:], e_s[:])
+            if get_config().unroll:
+                for _wr in range(n_win):
+                    carry = bwd_window(_wr, carry)
+            else:
+                carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
+            b_s[:], e_s[:] = carry
+
+        @pl.when(jnp.logical_not(run))
+        def _():
+            pd_ref[:] = jnp.zeros_like(pd_ref)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -1667,7 +1815,7 @@ def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vec, vec, svec, small, big, big, frame],
+        in_specs=[vec, vec, svec, svec, small, big, big, frame],
         out_specs=(big, vec, vec),
         out_shape=(
             big3,
@@ -1683,7 +1831,7 @@ def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, *, bb, bt)
             vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
-    )(beta_init[0], beta_init[1], ebi, blank, dg, sa, saf)
+    )(beta_init[0], beta_init[1], ebi, lens, blank, dg, sa, saf)
 
 
 def _simplified_grad_sums(ctx: CtcContext, pack):
@@ -1707,7 +1855,8 @@ def _simplified_grad_sums(ctx: CtcContext, pack):
     if _use_stream(n_chunks):
         dg = _simplified_chunk_transitions(probs, ohlm)
         pd, fin, fe = _simplified_bwd_call_streamed(
-            blank, dg, ck, cke, (b_hot, be0), ebi, bb=bb, bt=bt
+            blank, dg, ck, cke, (b_hot, be0), ebi, _padded_lens(ctx, bpad),
+            bb=bb, bt=bt
         )
         sums = scatter(pd)
     elif n_chunks == 1:
@@ -1753,20 +1902,29 @@ def _simplified_grad_sums(ctx: CtcContext, pack):
 @_cfg_jit
 def _simplified_grad_impl(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
+    ctx, inv = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _simplified_grad_sums(ctx, pack)
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
-    return _assemble_with_blank_identity(
+    combined, fast_loss = _assemble_with_blank_identity(
         ctx, non_blank, fast_loss, batch, num_t, num_tokens
     )
+    if inv is not None:
+        combined = jnp.take(combined, inv, axis=0)
+        fast_loss = jnp.take(fast_loss, inv)
+    return combined, fast_loss
 
 
 @_cfg_jit
 def _simplified_grad_direct_impl(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
+    ctx, inv = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _simplified_grad_sums(ctx, pack)
     grad = _grad_direct_assemble(
         ctx, sums, fast_loss, fast_loss, ebi, batch, num_t, num_tokens
     )
+    if inv is not None:
+        grad = jnp.take(grad, inv, axis=0)
+        fast_loss = jnp.take(fast_loss, inv)
     return grad, fast_loss
 
 
