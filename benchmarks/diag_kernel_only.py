@@ -27,14 +27,15 @@ bpad, tpad, lpad, bb, bt = pk._grad_geometry(B, T, ctx.label.shape[1])[:5]
 print(f"geometry: bpad={bpad} tpad={tpad} lpad={lpad} bb={bb} bt={bt} "
       f"k_win={pk._k_win(bt)}", flush=True)
 
-blank, dc, pt, nb, rep, ohl, ohp = jax.jit(
+blank, dcpt, nb, rep, ohl, ohp = jax.jit(
     lambda c: pk._classic_padded_inputs(c, bpad, tpad, lpad)
 )(ctx)
-jax.block_until_ready(dc)
+jax.block_until_ready(dcpt)
+dc = dcpt  # timing operand (r3: dc and pt fused into one [B,T,2L] tensor)
 
 bnd = jax.jit(
     lambda *a: pk._classic_fwd_call(*a, mode="bound", bb=bb, bt=bt)
-)(blank, dc, pt, nb, rep)
+)(blank, dcpt, nb, rep)
 jax.block_until_ready(bnd)
 ebi = jnp.zeros((bpad, 1), jnp.float32)
 binit = pk._beta_init(ctx, bpad, lpad)
@@ -65,17 +66,17 @@ def timed(fn, args, n_hi=16, reps=3):
 
 
 fwd_final_ms = timed(
-    lambda dc_, *a: pk._classic_fwd_call(blank, dc_, pt, nb, rep,
+    lambda dc_, *a: pk._classic_fwd_call(blank, dc_, nb, rep,
                                          mode="final", bb=bb, bt=bt), ()
 )
 print(f"fwd kernel (final): {fwd_final_ms:.3f} ms", flush=True)
 fwd_bound_ms = timed(
-    lambda dc_, *a: pk._classic_fwd_call(blank, dc_, pt, nb, rep,
+    lambda dc_, *a: pk._classic_fwd_call(blank, dc_, nb, rep,
                                          mode="bound", bb=bb, bt=bt), ()
 )
 print(f"fwd kernel (bound): {fwd_bound_ms:.3f} ms", flush=True)
 bwd_ms = timed(
-    lambda dc_, *a: pk._classic_bwd_call(blank, dc_, pt, nb, rep,
+    lambda dc_, *a: pk._classic_bwd_call(blank, dc_, nb, rep,
                                          bnd[0], bnd[1], bnd[2], binit, ebi,
                                          bb=bb, bt=bt), ()
 )

@@ -20,6 +20,7 @@ from tf_seq2seq_losses_tpu.api import (
     ctc_loss_from_logproba,
     ctc_loss_gradient,
     ctc_loss_hessian,
+    ctc_loss_hessian_vector_product,
     simplified_ctc_loss,
 )
 
@@ -31,6 +32,7 @@ __all__ = [
     "ctc_loss_from_logproba",
     "ctc_loss_gradient",
     "ctc_loss_hessian",
+    "ctc_loss_hessian_vector_product",
     "BaseCtcLossData",
     "ClassicCtcLossData",
     "SimplifiedCtcLossData",

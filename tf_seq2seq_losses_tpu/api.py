@@ -153,6 +153,42 @@ def ctc_loss_hessian(
     return chain.hessian_fn(logprobas, labels, label_length, logit_length, blank)
 
 
+def ctc_loss_hessian_vector_product(
+    labels: Array,
+    logprobas: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    vector: Array,
+    topology: str = "classic",
+) -> Array:
+    """``Hessian @ vector`` [B, T, V] in **O(B·T·(L+V)) memory**.
+
+    Forward-mode differentiation of the analytic gradient recursions
+    (alpha/beta scans + combine): the dual carries double the first-order
+    work instead of materialising the O(T²L²) ``gamma`` lattice, so exact
+    second-order information (Newton/CG, curvature diagnostics, GGN
+    products) is available at ASR scale — a capability the reference
+    fundamentally lacks (its Hessian requires the full pairwise lattice,
+    classic_ctc_loss.py:167-308).
+
+    Exactly equals
+    ``einsum('btvxy,bxy->btv', ctc_loss_hessian(...), vector)``; infeasible
+    samples and steps past ``logit_length`` contribute exact zeros.
+    """
+    topo, _ = _canonical(topology)
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+
+    def analytic_grad(lp):
+        ctx = _core.make_context(labels, lp, label_length, logit_length, blank)
+        loss = topo.loss(ctx, topo.alpha(ctx))
+        return -jnp.exp(_core.gradient_log(topo, ctx, loss))
+
+    vector = jnp.asarray(vector, dtype=jnp.float32)
+    _, hvp = jax.jvp(analytic_grad, (logprobas,), (vector,))
+    return hvp
+
+
 class BaseCtcLossData:
     """Eager, cached view over the functional core for one input batch.
 

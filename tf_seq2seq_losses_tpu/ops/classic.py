@@ -31,7 +31,11 @@ from tf_seq2seq_losses_tpu.ops.core import (
     select_from_act,
     take_token_logprobas,
 )
-from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
+from tf_seq2seq_losses_tpu.utils.numerics import (
+    apply_logarithmic_mask,
+    logsumexp as _lse,
+    reduce_logsumexp as _reduce_lse,
+)
 
 Array = jax.Array
 NEG_INF = np.float32(-np.inf)
@@ -94,14 +98,14 @@ def _alpha_step(step, carry):
     blank, prev_masked, d_closed, d_open = step
     a_closed = carry[..., 0]
     a_open = carry[..., 1]
-    horiz_closed = jnp.logaddexp(a_closed, a_open) + blank[:, None]
+    horiz_closed = _lse(a_closed, a_open) + blank[:, None]
     horiz_open = a_open + prev_masked
-    diag = jnp.logaddexp(a_closed + d_closed, a_open + d_open)
+    diag = _lse(a_closed + d_closed, a_open + d_open)
     # Diagonal lands one prefix position further; wrap-around is safe because
     # position Lp1-1 is always masked to -inf (l >= label_length).
     diag = jnp.roll(diag, shift=1, axis=1)
     return jnp.stack(
-        [horiz_closed, jnp.logaddexp(horiz_open, diag)], axis=-1
+        [horiz_closed, _lse(horiz_open, diag)], axis=-1
     )
 
 
@@ -145,12 +149,12 @@ def _beta_step(step, carry):
     b_closed = carry[..., 0]
     b_open = carry[..., 1]
     horiz_closed = blank[:, None] + b_closed
-    horiz_open = jnp.logaddexp(horiz_closed, prev_masked + b_open)
+    horiz_open = _lse(horiz_closed, prev_masked + b_open)
     # Diagonal: predict token l, land at open state of position l+1; the wrap
     # is masked because diag log-probs at position Lp1-1 are -inf.
     b_open_next = jnp.roll(b_open, shift=-1, axis=1)
-    new_closed = jnp.logaddexp(horiz_closed, d_closed + b_open_next)
-    new_open = jnp.logaddexp(horiz_open, d_open + b_open_next)
+    new_closed = _lse(horiz_closed, d_closed + b_open_next)
+    new_open = _lse(horiz_open, d_open + b_open_next)
     return jnp.stack([new_closed, new_open], axis=-1)
 
 
@@ -181,7 +185,7 @@ def beta(ctx: CtcContext) -> Array:
 def loss(ctx: CtcContext, alpha_tensor: Array) -> Array:
     """``-logsumexp_s alpha[:, T]`` gathered at label_length
     (classic_ctc_loss.py:152-165)."""
-    params = jax.scipy.special.logsumexp(alpha_tensor[:, -1], axis=-1)
+    params = _reduce_lse(alpha_tensor[:, -1], axis=-1)
     picked = jnp.take_along_axis(params, ctx.label_length[:, None], axis=1)[:, 0]
     return -picked
 
@@ -211,15 +215,15 @@ def gamma(ctx: CtcContext) -> Array:
         g_closed = carry[..., 0]
         g_open = carry[..., 1]
         bl = blank[:, None, None, None, None]
-        horiz_closed = jnp.logaddexp(g_closed, g_open) + bl
+        horiz_closed = _lse(g_closed, g_open) + bl
         horiz_open = g_open + prev_masked[:, None, None, None, :]
-        diag = jnp.logaddexp(
+        diag = _lse(
             g_closed + d_closed[:, None, None, None, :],
             g_open + d_open[:, None, None, None, :],
         )
         diag = jnp.roll(diag, shift=1, axis=4)
         new = jnp.stack(
-            [horiz_closed, jnp.logaddexp(horiz_open, diag)], axis=-1
+            [horiz_closed, _lse(horiz_open, diag)], axis=-1
         )
         # Rows whose start time has not been reached stay at the identity.
         started = (jnp.arange(tp1) <= i)[None, :, None, None, None, None]
@@ -268,7 +272,7 @@ def combine(ctx: CtcContext, a: Array, b: Array) -> Array:
     b = b.reshape(batch, num_t, lp1, 2, d_dim)  # [B, T, Lp1, 2, D]
     b = jnp.moveaxis(b, -1, 1)  # [B, D, T, Lp1, 2]
 
-    a_any = jnp.logaddexp(a[..., 0], a[..., 1])  # [B, A, T, Lp1]
+    a_any = _lse(a[..., 0], a[..., 1])  # [B, A, T, Lp1]
     b_closed = b[..., 0]  # [B, D, T, Lp1]
     b_open = b[..., 1]
 
@@ -277,7 +281,7 @@ def combine(ctx: CtcContext, a: Array, b: Array) -> Array:
     ab = a_any[:, :, None] + b_closed[:, None]  # [B, A, D, T, Lp1]
     blank_term = (
         ctx.blank_lp[:, None, None]
-        + jax.scipy.special.logsumexp(ab, axis=-1)
+        + _reduce_lse(ab, axis=-1)
     )  # [B, A, D, T]
 
     # Repeated-token horizontal: open -> open emitting the preceding token
@@ -289,7 +293,7 @@ def combine(ctx: CtcContext, a: Array, b: Array) -> Array:
     )  # [B, A, D, T, Lp1]
     # Diagonal: any state -> open at the next prefix position
     # (classic_ctc_loss.py:629-640).
-    diag = jnp.logaddexp(
+    diag = _lse(
         a[..., 0] + t.diag_closed[:, None], a[..., 1] + t.diag_open[:, None]
     )  # [B, A, T, Lp1]
     b_open_next = jnp.roll(b_open, shift=-1, axis=-1)
@@ -301,7 +305,7 @@ def combine(ctx: CtcContext, a: Array, b: Array) -> Array:
         out = select_from_act(flat, onehot)[..., 0]
         return out.reshape(batch, a_dim, d_dim, num_t, num_tokens)
 
-    non_blank = jnp.logaddexp(
+    non_blank = _lse(
         scatter(act_h, ctx.onehot_preceded), scatter(act_d, ctx.onehot_label)
     )  # [B, A, D, T, V]
 

@@ -240,7 +240,12 @@ def select_from_act(act: Array, onehot: Array) -> Array:
     sums = jnp.einsum(
         "batld,blk->batkd", p, onehot, precision=jax.lax.Precision.HIGHEST
     )
-    return m_safe + jnp.log(sums)
+    # double-where: empty segments (sums == 0) must give exactly -inf with a
+    # ZERO tangent — a bare log(0) poisons forward-mode derivatives (the
+    # O(T)-memory HVP, api.ctc_loss_hessian_vector_product) with NaN
+    empty = sums == 0.0
+    safe_log = jnp.log(jnp.where(empty, 1.0, sums))
+    return m_safe + jnp.where(empty, NEG_INF, safe_log)
 
 
 def gradient_log(topology, ctx: CtcContext, loss: Array) -> Array:

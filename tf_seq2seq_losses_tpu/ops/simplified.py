@@ -20,7 +20,11 @@ from tf_seq2seq_losses_tpu.ops.core import (
     expected_token_lp as core_expected_token_lp,
     select_from_act,
 )
-from tf_seq2seq_losses_tpu.utils.numerics import apply_logarithmic_mask
+from tf_seq2seq_losses_tpu.utils.numerics import (
+    apply_logarithmic_mask,
+    logsumexp as _lse,
+    reduce_logsumexp as _reduce_lse,
+)
 
 Array = jax.Array
 NEG_INF = np.float32(-np.inf)
@@ -47,7 +51,7 @@ def alpha(ctx: CtcContext) -> Array:
         horizontal = carry + blank[:, None]
         # Wrap-around of the diagonal is masked: position Lp1-1 is -inf.
         diag = jnp.roll(carry + diag_lp, shift=1, axis=1)
-        new = jnp.logaddexp(horizontal, diag)
+        new = _lse(horizontal, diag)
         return new, new
 
     init = _alpha_init(ctx)
@@ -76,7 +80,7 @@ def beta(ctx: CtcContext) -> Array:
         blank, diag_lp = step
         horizontal = carry + blank[:, None]
         diag = diag_lp + jnp.roll(carry, shift=-1, axis=1)
-        new = jnp.logaddexp(horizontal, diag)
+        new = _lse(horizontal, diag)
         return new, new
 
     init = _beta_last(ctx)
@@ -110,7 +114,7 @@ def gamma(ctx: CtcContext) -> Array:
         horizontal = carry + blank[:, None, None, None]
         diag = carry + diag_lp[:, None, None, :]
         diag = jnp.roll(diag, shift=1, axis=3)
-        new = jnp.logaddexp(horizontal, diag)
+        new = _lse(horizontal, diag)
         started = (jnp.arange(tp1) <= i)[None, :, None, None]
         new = jnp.where(started, new, diagonal_gamma)
         return new, new
@@ -155,7 +159,7 @@ def combine(ctx: CtcContext, a: Array, b: Array) -> Array:
 
     ab = a[:, :, None] + b[:, None]  # [B, A, D, T, Lp1]
     blank_term = (
-        ctx.blank_lp[:, None, None] + jax.scipy.special.logsumexp(ab, axis=-1)
+        ctx.blank_lp[:, None, None] + _reduce_lse(ab, axis=-1)
     )  # [B, A, D, T]
 
     b_next = jnp.roll(b, shift=-1, axis=-1)

@@ -53,11 +53,35 @@ def logsumexp(x: Array, y: Array) -> Array:
 
     Reference semantics: tools.py:57-71, including the tie branch
     ``x + log(2)`` which keeps the ``x == y == -inf`` case NaN-free.
-    `jnp.logaddexp` implements exactly this contract (max + log1p(exp(-|d|))
-    with an equal-operands guard), so we delegate to it: it lowers to a fused
-    VPU sequence on TPU.
+
+    Hand-guarded rather than ``jnp.logaddexp``: the builtin's *derivative*
+    produces NaN when both operands are ``-inf`` (``exp(-inf - -inf)``),
+    which poisons forward-mode differentiation through the lattice scans
+    (the O(T)-memory HVP).  The double-where form keeps both the value and
+    every tangent finite: ``-inf`` lattice regions carry exact zero
+    tangents, matching the mathematical limit.
     """
-    return jnp.logaddexp(x, y)
+    both_inf = jnp.isneginf(x) & jnp.isneginf(y)
+    mx = jnp.maximum(x, y)
+    mn = jnp.minimum(x, y)
+    diff = jnp.where(both_inf, 0.0, mn) - jnp.where(both_inf, 0.0, mx)
+    out = mx + jnp.log1p(jnp.exp(diff))
+    return jnp.where(both_inf, jnp.asarray(-np.inf, dtype=out.dtype), out)
+
+
+def reduce_logsumexp(x: Array, axis: int) -> Array:
+    """Axis-reduction logsumexp with the same forward-mode safety contract
+    as :func:`logsumexp`: all-(-inf) slices reduce to exactly ``-inf`` with
+    zero tangent (``jax.scipy.special.logsumexp``'s derivative NaNs there,
+    poisoning the O(T)-memory HVP)."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.sum(jnp.exp(x - m_safe), axis=axis)
+    empty = s == 0.0
+    safe_log = jnp.log(jnp.where(empty, 1.0, s))
+    return jnp.squeeze(m_safe, axis=axis) + jnp.where(
+        empty, jnp.asarray(-np.inf, dtype=safe_log.dtype), safe_log
+    )
 
 
 def subexp(x: Array, y: Array) -> Array:
@@ -92,7 +116,13 @@ def unsorted_segment_logsumexp(
     sums = jax.ops.segment_sum(
         jnp.exp(data_normed), segment_ids, num_segments=num_segments
     )
-    return data_max_safe + jnp.log(sums)
+    # double-where: empty segments give exactly -inf with zero tangent
+    # (a bare log(0) would NaN forward-mode derivatives)
+    empty = sums == 0.0
+    safe_log = jnp.log(jnp.where(empty, 1.0, sums))
+    return data_max_safe + jnp.where(
+        empty, jnp.asarray(-np.inf, dtype=safe_log.dtype), safe_log
+    )
 
 
 def pad_until(
