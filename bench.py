@@ -204,6 +204,10 @@ def main():
                 "hessian_ms_B2T5V3": round(hessian_ms, 4),
                 "ref_gpu_ms_scaled": BASELINE_MS,
                 "parity": parity,
+                # harness-level smoke bit only (FD atol 2e-2 + Hessian
+                # symmetry); the real parity evidence is the test suite's
+                # oracles at 1e-5/1e-4 (VERDICT r2 weak #8)
+                "parity_note": "smoke check; full parity evidence in tests/",
                 "device": str(jax.devices()[0]),
             }
         )

@@ -7,8 +7,18 @@ for the sharding tests (SURVEY §4: the fake-backend trick).
 """
 
 import os
+import tempfile
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# Persistent XLA compilation cache: the suite's cost is dominated by
+# compiling many small jitted graphs (measured: a 47 s interpret-mode test
+# drops to 11 s warm).  Safe to share across runs; CI caches the directory.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), "tf_seq2seq_losses_tpu_jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 

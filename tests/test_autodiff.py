@@ -19,7 +19,9 @@ from tf_seq2seq_losses_tpu import (
 )
 
 
-@pytest.fixture(params=["classic", "simplified"])
+@pytest.fixture(
+    params=["classic", pytest.param("simplified", marks=pytest.mark.slow)]
+)
 def topology(request):
     return request.param
 

@@ -243,7 +243,10 @@ def test_guard_disabled_matches_on_sane_inputs():
     np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off), atol=1e-6)
 
 
-@pytest.mark.parametrize("loss_fn_name", ["classic", "simplified"])
+@pytest.mark.parametrize(
+    "loss_fn_name",
+    ["classic", pytest.param("simplified", marks=pytest.mark.slow)],
+)
 def test_chunked_long_t_matches_pure(loss_fn_name):
     """Long-sequence chunk scan (config.chunk_time) vs the pure path: the
     [B, T, L] tensors only materialise chunk-wide, the lattice carry chains
@@ -344,7 +347,9 @@ def test_repair_escalates_beyond_bucket():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
-@pytest.mark.parametrize("blank", [2, 4])
+@pytest.mark.parametrize(
+    "blank", [pytest.param(2, marks=pytest.mark.slow), 4]
+)
 def test_nonzero_blank_through_kernels(blank):
     """Kernel path with blank_index != 0 vs the pure path (the reference
     only tests non-zero blank on the simplified topology,

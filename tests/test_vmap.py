@@ -43,7 +43,10 @@ def test_vmap_matches_loop_pure(loss_fn):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-@pytest.mark.parametrize("loss_fn", [classic_ctc_loss, simplified_ctc_loss])
+@pytest.mark.parametrize(
+    "loss_fn",
+    [classic_ctc_loss, pytest.param(simplified_ctc_loss, marks=pytest.mark.slow)],
+)
 def test_vmap_grad_matches_loop_pure(loss_fn):
     labels, logits, ll, gl = _stacked_inputs(seed=1)
 
