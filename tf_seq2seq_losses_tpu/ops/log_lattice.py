@@ -42,7 +42,6 @@ from tf_seq2seq_losses_tpu.ops.pallas_lattice import (
     _assemble_with_blank_identity,
     _cfg_jit,
     _fit_blocks,
-    _grad_geometry,
     _lane_iota,
     _pad_mask,
     _round_up,
