@@ -36,15 +36,18 @@ def _float0(x):
 
 
 class CtcVjpChain(NamedTuple):
-    """The three chained functions for one topology.
+    """The chained functions for one topology.
 
-    Each takes ``(logprobas, labels, label_length, logit_length, blank)`` and
-    treats ``logprobas`` as the only differentiable argument.
+    ``loss_fn``/``grad_fn``/``hessian_fn`` take ``(logprobas, labels,
+    label_length, logit_length, blank)`` and treat ``logprobas`` as the only
+    differentiable argument.  ``loss_from_logits_fn`` is the logits-level
+    entry with the log-softmax VJP fused analytically (see build_chain).
     """
 
     loss_fn: Callable
     grad_fn: Callable
     hessian_fn: Callable
+    loss_from_logits_fn: Callable
 
 
 def build_chain(topology) -> CtcVjpChain:
@@ -162,4 +165,79 @@ def build_chain(topology) -> CtcVjpChain:
 
     loss_fn.defvjp(loss_fwd, loss_bwd)
 
-    return CtcVjpChain(loss_fn=loss_fn, grad_fn=grad_fn, hessian_fn=hessian_fn)
+    # ---- level 0: loss from LOGITS with the log-softmax VJP fused ----------
+    #
+    # The generic autodiff of ``logit_to_logproba`` costs several [B, T, V]
+    # HBM passes (exp, a vocab reduction, an fma).  For the TRUE ctc
+    # cotangent the reduction is known in closed form: every valid frame's
+    # gradient row sums to exactly -1 (the posterior identity; infeasible
+    # samples and steps past logit_length sum to 0), so
+    #
+    #   d_logits = d_loss * (grad_logproba + softmax * mask)
+    #
+    # with ``mask[b, t] = (t < logit_length[b]) & isfinite(loss[b])``.
+    # Measured (v5e, B=256, T=500, V=128): cost-neutral vs the generic VJP
+    # (~0.35 ms either way — both sit at the read-g + read-lp + write-out
+    # HBM floor); the win is structural (no vocab reduction, the exact
+    # cotangent is explicit, and the level is the natural place for any
+    # future logits-side fusion).
+    # Second derivatives keep working exactly as on the logproba chain:
+    # this bwd is built from ``grad_fn_packed`` (which owns its own VJP
+    # rules, contracting with the analytic Hessian) plus plain ops; third
+    # order raises as required.
+    @jax.custom_vjp
+    def loss_from_logits_fn(logits, labels, label_length, logit_length, blank):
+        from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
+
+        return loss_fn(
+            logit_to_logproba(logits, axis=2),
+            labels, label_length, logit_length, blank,
+        )
+
+    def llf_fwd(logits, labels, label_length, logit_length, blank):
+        from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
+
+        logprobas = logit_to_logproba(logits, axis=2)
+        ad_loss = getattr(topology, "loss_and_pack_fast", None)
+        if ad_loss is not None:
+            ctx = core.make_context(
+                labels, logprobas, label_length, logit_length, blank
+            )
+            out, pack = ad_loss(ctx)
+            pack = jax.lax.stop_gradient(pack)
+        else:
+            out = loss_fn(logprobas, labels, label_length, logit_length, blank)
+            pack = None
+        return out, (
+            logprobas, labels, label_length, logit_length, blank, pack, out
+        )
+
+    def llf_bwd(res, d_loss):
+        logprobas, labels, label_length, logit_length, blank, pack, loss = res
+        g = grad_fn_packed(
+            logprobas, labels, label_length, logit_length, blank, pack
+        )
+        num_t = logprobas.shape[1]
+        mask = (
+            (jnp.arange(num_t)[None, :] < logit_length[:, None])
+            & jnp.isfinite(loss)[:, None]
+        )
+        d_logits = d_loss[:, None, None] * (
+            g + jnp.exp(logprobas) * mask[:, :, None]
+        )
+        return (
+            d_logits,
+            _float0(labels),
+            _float0(label_length),
+            _float0(logit_length),
+            _float0(blank),
+        )
+
+    loss_from_logits_fn.defvjp(llf_fwd, llf_bwd)
+
+    return CtcVjpChain(
+        loss_fn=loss_fn,
+        grad_fn=grad_fn,
+        hessian_fn=hessian_fn,
+        loss_from_logits_fn=loss_from_logits_fn,
+    )
