@@ -44,6 +44,7 @@ res = jax.jit(
 jax.block_until_ready(res)
 ebi = jnp.zeros((bpad, 1), jnp.float32)
 binit = pk._beta_init(ctx, bpad, lpad)
+lens = pk._padded_lens(ctx, bpad)
 
 
 def timed(fn, n_hi=16, reps=3):
@@ -81,7 +82,7 @@ rows = [
         blank, x, nb, rep, bnd[0], bnd[1], bnd[2], binit, ebi,
         bb=bb, bt=bt)),
     ("bwd streamed", lambda x: pk._classic_bwd_call_streamed(
-        blank, x, nb, rep, res[0], res[1], res[2], binit, ebi,
+        blank, x, nb, rep, res[0], res[1], binit, ebi, lens,
         bb=bb, bt=bt)),
 ]
 for name, fn in rows:

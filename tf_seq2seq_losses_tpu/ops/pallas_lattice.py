@@ -530,7 +530,7 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
         if mode == "bound":
             b0_ref, b1_ref, be_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         elif mode == "resid":
-            (sa0_ref, sa1_ref, saf_ref, f0_ref, f1_ref, fe_ref,
+            (sa_ref, saf_ref, f0_ref, f1_ref, fe_ref,
              a0_s, a1_s, e_s) = rest
         else:
             f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
@@ -566,8 +566,8 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
             for kk in range(k_win):
                 k = w * k_win + kk
                 if mode == "resid":
-                    sa0_ref[:, k, :] = a0
-                    sa1_ref[:, k, :] = a1
+                    # one wide store per step (a0 | a1 on the lane axis)
+                    sa_ref[:, k, :] = jnp.concatenate([a0, a1], axis=1)
                 blank = blank_ref[:, k, :]  # [bb, 1]
                 dc = dcpt_ref[:, k, :lp]  # [bb, Lpad]
                 pm = dcpt_ref[:, k, lp:] * nb_ref[:]
@@ -657,21 +657,21 @@ def _classic_fwd_call(blank, dcpt, nb, rep, *, mode, bb, bt, init=None,
         )
         out_specs = (bound, bound, bound, vec, vec, vec)
     elif mode == "resid":
-        # per-step alpha mantissas (in their window frame) + per-window
+        # per-step alpha mantissas (closed | open concatenated on the lane
+        # axis: ONE wide store/load per step instead of two) + per-window
         # frames; frames use a leading window index so the trailing
         # (bb, lpad) block satisfies Mosaic's (8, 128) tiling constraint
         kw = _k_win(bt)
         n_w = bt // kw
         frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (j, i, 0))
         out_shape = (
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, tpad, 2 * lpad), jnp.float32),
             jax.ShapeDtypeStruct((n_tb * n_w, bpad, lpad), jnp.int32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
             jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
-        out_specs = (big, big, frame, vec, vec, vec)
+        out_specs = (big2, frame, vec, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -797,7 +797,7 @@ def _classic_loss_and_pack_impl(ctx: CtcContext):
             ctx, bpad, tpad, lpad
         )
         dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
-        sa0, sa1, saf, f0, f1, fe = _classic_fwd_call(
+        sa, saf, f0, f1, fe = _classic_fwd_call(
             blank, dcpt, nb, rep, mode="resid", bb=bb, bt=bt,
             lens=_padded_lens(ctx, bpad),
         )
@@ -805,7 +805,7 @@ def _classic_loss_and_pack_impl(ctx: CtcContext):
         loss = loss_s if inv is None else jnp.take(loss_s, inv)
         # pack stays in SORTED order (incl. its loss copy): the grad impl
         # re-derives the same stable permutation from the unsorted ctx
-        return loss, (sa0, sa1, saf, loss_s)
+        return loss, (sa, saf, saf, loss_s)
     (f0, f1, fe), cks = _classic_fwd_scan(
         ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
     )
@@ -1019,7 +1019,7 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
     def kernel(
         bi0_ref, bi1_ref, bie_ref, ebi_ref, lens_ref,
         blank_ref, dcpt_ref, nb_ref, rep_ref,
-        sa0_ref, sa1_ref, saf_ref,
+        sa_ref, saf_ref,
         pc_ref, f0_ref, f1_ref, fe_ref,
         b0_s, b1_s, e_s,
     ):
@@ -1057,8 +1057,8 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
                 pt = dcpt_ref[:, k, lp:]
                 pm = pt * nb_ref[:]
                 do = dc * rep_ref[:]
-                a0 = sa0_ref[:, k, :]
-                a1 = sa1_ref[:, k, :]
+                a0 = sa_ref[:, k, :lp]
+                a1 = sa_ref[:, k, lp:]
 
                 arr = pltpu.roll(b1, shift=lpad - 1, axis=1) * s_arr
                 d = a0 * dc + a1 * do
@@ -1098,7 +1098,7 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
 
 
 def _classic_bwd_call_streamed(
-    blank, dcpt, nb, rep, sa0, sa1, saf, beta_init, ebi, lens, *, bb, bt
+    blank, dcpt, nb, rep, sa, saf, beta_init, ebi, lens, *, bb, bt
 ):
     """Streamed-residual backward: returns (pc combined acts, beta-final
     b0/b1/e)."""
@@ -1120,7 +1120,7 @@ def _classic_bwd_call_streamed(
         _classic_bwd_kernel_streamed(bt, kw),
         grid=grid,
         in_specs=[vec, vec, vec, svec, svec, small, big2, vec, vec,
-                  big, big, frame],
+                  big2, frame],
         out_specs=(big, vec, vec, vec),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
@@ -1139,7 +1139,7 @@ def _classic_bwd_call_streamed(
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], beta_init[2], ebi, lens,
-      blank, dcpt, nb, rep, sa0, sa1, saf)
+      blank, dcpt, nb, rep, sa, saf)
 
 
 def _assemble_with_blank_identity(
@@ -1184,7 +1184,7 @@ def _classic_grad_sums(ctx: CtcContext, pack):
         batch, num_t, lp1
     )
 
-    # streamed pack: (sa0, sa1, saf, loss); residual-free: (ck0/1/e, loss)
+    # streamed pack: (sa, saf, saf, loss); residual-free: (ck0/1/e, loss)
     ck0, ck1, cke, loss = pack
     ebi = _ebi_from_loss(loss, bpad)
     beta0 = _beta_init(ctx, bpad, lpad)
@@ -1205,7 +1205,7 @@ def _classic_grad_sums(ctx: CtcContext, pack):
     if _use_stream(n_chunks):
         dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
         pc, f0, _f1, fe = _classic_bwd_call_streamed(
-            blank, dcpt, nb, rep, ck0, ck1, cke, beta0, ebi,
+            blank, dcpt, nb, rep, ck0, ck1, beta0, ebi,
             _padded_lens(ctx, bpad), bb=bb, bt=bt
         )
         # single scatter: the combined act (see _classic_bwd_kernel_streamed)
