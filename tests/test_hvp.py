@@ -75,3 +75,16 @@ def test_hvp_jittable():
     )
     out = f(lp, v)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_token_posteriors_sum_to_one_on_valid_frames():
+    from tf_seq2seq_losses_tpu import ctc_token_posteriors
+
+    labels, lp, ll, gl = _inputs(3, 10, 5, 9)
+    post = np.asarray(ctc_token_posteriors(labels, lp, ll, gl, 0))
+    sums = post.sum(axis=2)
+    t = np.arange(post.shape[1])[None, :]
+    valid = t < np.asarray(gl)[:, None]
+    np.testing.assert_allclose(sums[valid], 1.0, atol=1e-5)
+    np.testing.assert_allclose(sums[~valid], 0.0, atol=1e-7)
+    assert (post >= -1e-7).all()

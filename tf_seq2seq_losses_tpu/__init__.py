@@ -21,6 +21,7 @@ from tf_seq2seq_losses_tpu.api import (
     ctc_loss_gradient,
     ctc_loss_hessian,
     ctc_loss_hessian_vector_product,
+    ctc_token_posteriors,
     simplified_ctc_loss,
 )
 
@@ -33,6 +34,7 @@ __all__ = [
     "ctc_loss_gradient",
     "ctc_loss_hessian",
     "ctc_loss_hessian_vector_product",
+    "ctc_token_posteriors",
     "BaseCtcLossData",
     "ClassicCtcLossData",
     "SimplifiedCtcLossData",

@@ -159,6 +159,27 @@ def ctc_loss_hessian(
     return chain.hessian_fn(logprobas, labels, label_length, logit_length, blank)
 
 
+def ctc_token_posteriors(
+    labels: Array,
+    logprobas: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    topology: str = "classic",
+) -> Array:
+    """Per-frame token posteriors ``P(token v emitted at frame t | labels)``.
+
+    For CTC, minus the loss gradient w.r.t. log-probabilities IS the
+    posterior occupancy (each valid frame's posteriors sum to exactly 1;
+    frames past ``logit_length`` and infeasible samples are all-zero) —
+    the standard soft-alignment / confidence tool for ASR.  Runs on the
+    fused kernel path: [B, T, V], O(T) memory.
+    """
+    return -ctc_loss_gradient(
+        labels, logprobas, label_length, logit_length, blank_index, topology
+    )
+
+
 def ctc_loss_hessian_vector_product(
     labels: Array,
     logprobas: Array,
