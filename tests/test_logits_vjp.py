@@ -95,3 +95,33 @@ def test_fused_logits_infeasible_zero_grad():
 
     g = jax.grad(f)(jnp.zeros((2, 2, 3)))
     assert (np.asarray(g) == 0).all()
+
+
+def test_kernel_path_hessian_both_levels():
+    """jacrev^2 must work with the Pallas path ON (latent r2 bug: the fwd
+    rules built kernel contexts on differentiable inputs, so second-order
+    differentiation tried to linearise pallas_call, which has no jvp rule;
+    the reference's own stop_gradient-the-inputs trick, base_loss.py:91-97,
+    is the fix)."""
+    labels = jnp.array([[1, 2, 2, 1], [1, 2, 1, 0]], jnp.int32)
+    logits = jnp.asarray(
+        np.random.RandomState(0).randn(2, 5, 3).astype(np.float32)
+    )
+    lp = logit_to_logproba(logits, 2)
+    ll, gl = jnp.array([4, 3]), jnp.array([5, 4])
+
+    def f_lp(x):
+        return jnp.sum(ctc_loss_from_logproba(labels, x, ll, gl, 0))
+
+    def f_logits(x):
+        return jnp.sum(classic_ctc_loss(labels, x, ll, gl, 0))
+
+    h_lp_ref = jax.jacrev(jax.grad(f_lp))(lp)
+    h_lg_ref = jax.jacrev(jax.grad(f_logits))(logits)
+    with config_override(
+        use_pallas=True, interpret=True, block_batch=2, block_time=4
+    ):
+        h_lp = jax.jacrev(jax.grad(f_lp))(lp)
+        h_lg = jax.jit(jax.jacrev(jax.grad(f_logits)))(logits)
+    np.testing.assert_allclose(np.asarray(h_lp), np.asarray(h_lp_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_lg), np.asarray(h_lg_ref), atol=1e-4)

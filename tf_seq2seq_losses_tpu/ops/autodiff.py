@@ -138,10 +138,19 @@ def build_chain(topology) -> CtcVjpChain:
         # backward pass reuses them instead of rerunning the forward scan.
         # The undifferentiated primal (loss_fn's body) keeps the lean
         # final-only kernel.
+        #
+        # The kernel computation runs on stop_gradient'ed inputs — exactly
+        # the reference's trick (base_loss.py:91-97): derivatives are
+        # supplied by the custom rules, never by linearising the recursions,
+        # and second-order differentiation must not try to linearise the
+        # pallas_call that produced the residual pack (it has no jvp rule).
+        # The RAW logprobas ride the residuals so the Hessian flows through
+        # grad_fn_packed in the backward.
         ad_loss = getattr(topology, "loss_and_pack_fast", None)
         if ad_loss is not None:
             ctx = core.make_context(
-                labels, logprobas, label_length, logit_length, blank
+                labels, jax.lax.stop_gradient(logprobas), label_length,
+                logit_length, blank,
             )
             out, pack = ad_loss(ctx)
             pack = jax.lax.stop_gradient(pack)
@@ -200,16 +209,23 @@ def build_chain(topology) -> CtcVjpChain:
         logprobas = logit_to_logproba(logits, axis=2)
         ad_loss = getattr(topology, "loss_and_pack_fast", None)
         if ad_loss is not None:
+            # stop_gradient'ed inputs: see loss_fwd (reference
+            # base_loss.py:91-97) — second-order differentiation must not
+            # linearise the kernel call
             ctx = core.make_context(
-                labels, logprobas, label_length, logit_length, blank
+                labels, jax.lax.stop_gradient(logprobas), label_length,
+                logit_length, blank,
             )
             out, pack = ad_loss(ctx)
             pack = jax.lax.stop_gradient(pack)
         else:
             out = loss_fn(logprobas, labels, label_length, logit_length, blank)
             pack = None
+        # the loss residual feeds only the boolean finiteness mask in
+        # llf_bwd (zero derivative): stop_gradient it too
         return out, (
-            logprobas, labels, label_length, logit_length, blank, pack, out
+            logprobas, labels, label_length, logit_length, blank, pack,
+            jax.lax.stop_gradient(out),
         )
 
     def llf_bwd(res, d_loss):
