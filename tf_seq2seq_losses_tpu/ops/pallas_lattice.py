@@ -294,13 +294,17 @@ def _padded_probs(ctx: CtcContext, bpad: int, tpad: int):
 
 
 def _padded_onehot(label: Array, num_tokens: int, bpad: int, lpad: int):
-    """One-hot [bpad, lpad, V]; padded positions match no token."""
+    """One-hot [bpad, lpad, V]; padded positions match no token.
+
+    Stored bf16: 0/1 are exact, the consuming einsums run at HIGH (bf16x3
+    passes) anyway, and the [B, Lpad, V] operands are pure HBM traffic —
+    half the bytes at V=128 scale."""
     batch, lp1 = label.shape
     lab = jnp.pad(
         label, ((0, bpad - batch), (0, lpad - lp1)), constant_values=-1
     )
     return (lab[:, :, None] == jnp.arange(num_tokens)[None, None, :]).astype(
-        jnp.float32
+        jnp.bfloat16
     )
 
 
@@ -324,7 +328,7 @@ def _classic_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
     # fold the label-length mask into the one-hot (zero rows)
     oh_label_masked = oh_label * _pad_mask(ctx.label_length_mask, bpad, lpad)[
         :, :, None
-    ]
+    ].astype(jnp.bfloat16)
     nb_mask = _pad_mask(
         ctx.preceded_label != ctx.blank_index, bpad, lpad
     )
@@ -374,7 +378,7 @@ def _simplified_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
     oh_label = _padded_onehot(ctx.label, num_tokens, bpad, lpad)
     oh_label_masked = oh_label * _pad_mask(ctx.label_length_mask, bpad, lpad)[
         :, :, None
-    ]
+    ].astype(jnp.bfloat16)
     return probs, blank, oh_label_masked
 
 

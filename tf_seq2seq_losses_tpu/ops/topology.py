@@ -167,6 +167,47 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
         # bucket disabled (0) but the full branch fits: two-way guard
         return jax.lax.cond(n > 0, lambda: exact_fn(ctx), lambda: fast_value)
 
+    if not full_fits:
+        # whole-batch reroute would blow the cap; keep the gather repair.
+        # n > bucket leaves the overflow samples at +inf (documented).
+        warnings.warn(
+            "ctc saturation guard: whole-batch exact reroute disabled at "
+            f"this shape (working set over the {cap >> 20} MB cap); up to "
+            f"{bucket} flushed samples per batch are repaired exactly, any "
+            "beyond that keep their +inf fast-path value.",
+            stacklevel=2,
+        )
+
+    big = isinstance(fast_value, jax.Array) and fast_value.ndim >= 2
+    if big:
+        # Scatter form for the [B, T, V]-scale gradient outputs: the big
+        # tensor never enters a data-dependent branch on the common paths.
+        # A whole-tensor ``lax.switch`` costs a dead [B, T, V] copy on every
+        # clean step AND acts as a fusion barrier between the gradient
+        # assembly and the softmax-VJP epilogue (measured 0.16 ms at V=32 /
+        # 0.58 ms at V=128, benchmarks/diag_overheads.py).  Instead, only
+        # the bucket-row (idx, updates) pair is branch-valued; the final
+        # ``fast.at[idx].set(updates)`` runs unconditionally and XLA updates
+        # it in place (a clean step scatters the rows' own values back).
+        # Only the rare > bucket escalation pays a whole-tensor select.
+        def with_updates():
+            idx = jnp.argsort(~flushed)[:bucket]  # flushed samples first
+            mini = pure_fn(_take_ctx(ctx, idx))
+            keep = flushed[idx].reshape(
+                (bucket,) + (1,) * (fast_value.ndim - 1)
+            )
+            return idx, jnp.where(keep, mini, fast_value[idx])
+
+        def no_updates():
+            idx = jnp.arange(bucket)
+            return idx, fast_value[idx]
+
+        idx, upd = jax.lax.cond(n > 0, with_updates, no_updates)
+        out = fast_value.at[idx].set(upd)
+        if not full_fits:
+            return out
+        return jax.lax.cond(n > bucket, lambda: exact_fn(ctx), lambda: out)
+
     def repaired():
         idx = jnp.argsort(~flushed)[:bucket]  # flushed samples first
         mini_val = pure_fn(_take_ctx(ctx, idx))
@@ -179,15 +220,6 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
         return jax.tree.map(put, fast_value, mini_val)
 
     if not full_fits:
-        # whole-batch reroute would blow the cap; keep the gather repair.
-        # n > bucket leaves the overflow samples at +inf (documented).
-        warnings.warn(
-            "ctc saturation guard: whole-batch exact reroute disabled at "
-            f"this shape (working set over the {cap >> 20} MB cap); up to "
-            f"{bucket} flushed samples per batch are repaired exactly, any "
-            "beyond that keep their +inf fast-path value.",
-            stacklevel=2,
-        )
         return jax.lax.cond(n > 0, repaired, lambda: fast_value)
 
     branch = jnp.where(n == 0, 0, jnp.where(n <= bucket, 1, 2))
