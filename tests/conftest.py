@@ -10,19 +10,22 @@ import os
 import tempfile
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-# Persistent XLA compilation cache: the suite's cost is dominated by
-# compiling many small jitted graphs (measured: a 47 s interpret-mode test
-# drops to 11 s warm).  Safe to share across runs; CI caches the directory.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(tempfile.gettempdir(), "tf_seq2seq_losses_tpu_jax_cache"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache.  Must be configured via config.update,
+# not env vars: this container's sitecustomize imports jax at interpreter
+# startup (before conftest runs), so JAX_COMPILATION_CACHE_DIR etc. set here
+# would be latched too late and the cache silently stays uninitialized
+# (measured: zero cache writes with the env-var route; warm suite compiles
+# hit with this one).  Safe to share across runs; CI caches the directory.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(tempfile.gettempdir(), "tf_seq2seq_losses_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
