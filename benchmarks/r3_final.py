@@ -33,18 +33,25 @@ def optax_loss(labels, logits, label_length, logit_length, blank_index):
     return optax.ctc_loss(logits, logit_pad, labels, label_pad, blank_id=blank_index)
 
 
+B = int(os.environ.get("QB_B", 256))
+T = int(os.environ.get("QB_T", 500))
+
 for vocab in (32, 128):
-    args = make_inputs(256, 500, vocab)
+    args = make_inputs(B, T, vocab)
     ms = timed(classic_ctc_loss, args)
     print(f"V={vocab:<4d} classic fwd+grad (guard on):  {ms:7.3f} ms", flush=True)
     with config_override(guard=False):
         ms = timed(classic_ctc_loss, args)
     print(f"V={vocab:<4d} classic fwd+grad (guard off): {ms:7.3f} ms", flush=True)
+    with config_override(stream_residuals=False):
+        ms = timed(classic_ctc_loss, args)
+    print(f"V={vocab:<4d} classic fwd+grad (recompute): {ms:7.3f} ms", flush=True)
     ms = timed(simplified_ctc_loss, args)
     print(f"V={vocab:<4d} simplified fwd+grad:          {ms:7.3f} ms", flush=True)
     ms = timed(optax_loss, args)
     print(f"V={vocab:<4d} optax fwd+grad:               {ms:7.3f} ms", flush=True)
 
-args = make_inputs(256, 500, 32)
+
+args = make_inputs(B, T, 32)
 ms = timed(classic_ctc_loss, args, forward_only=True)
-print(f"V=32   classic fwd-only T=500:       {ms:7.3f} ms", flush=True)
+print(f"V=32   classic fwd-only T={T}:       {ms:7.3f} ms", flush=True)
