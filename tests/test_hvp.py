@@ -40,6 +40,22 @@ def test_hvp_matches_full_hessian_contraction(topology):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_hvp_accepts_reduced_precision_and_validates_shape():
+    # bfloat16 logprobas are accepted everywhere else in the api; jax.jvp
+    # demands equal primal/tangent dtypes, so the entry must cast both
+    labels, lp, ll, gl = _inputs(2, 5, 3, 11)
+    v = jnp.asarray(
+        np.random.RandomState(1).randn(*lp.shape).astype(np.float32)
+    )
+    want = ctc_loss_hessian_vector_product(labels, lp, ll, gl, 0, v)
+    got = ctc_loss_hessian_vector_product(
+        labels, lp.astype(jnp.bfloat16), ll, gl, 0, v
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-2)
+    with pytest.raises(ValueError, match="vector must match"):
+        ctc_loss_hessian_vector_product(labels, lp, ll, gl, 0, v[:, :-1])
+
+
 def test_hvp_matches_grad_finite_difference_at_scale():
     # T=24: the full Hessian would be [3, 24, 6, 24, 6]; the HVP needs only
     # first-order memory.  Central difference of the analytic gradient is

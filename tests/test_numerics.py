@@ -35,6 +35,16 @@ def test_logsumexp_basic():
     assert float(big) == 0.0
 
 
+def test_logsumexp_positive_infinities():
+    # +inf ties returned NaN (inf - inf in the diff) before the r3 fix;
+    # jnp.logaddexp's contract is +inf throughout
+    assert nm.logsumexp(jnp.float32(np.inf), jnp.float32(np.inf)) == np.inf
+    assert nm.logsumexp(jnp.float32(np.inf), jnp.float32(3.0)) == np.inf
+    assert nm.logsumexp(jnp.float32(3.0), jnp.float32(np.inf)) == np.inf
+    assert nm.logsumexp(jnp.float32(np.inf), jnp.float32(-np.inf)) == np.inf
+    assert nm.logsumexp(jnp.float32(-np.inf), jnp.float32(np.inf)) == np.inf
+
+
 def test_subexp():
     x = jnp.asarray([1.0, 2.0, -np.inf, 3.0], dtype=jnp.float32)
     y = jnp.asarray([0.5, 2.0, -np.inf, 5.0], dtype=jnp.float32)

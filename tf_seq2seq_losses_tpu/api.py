@@ -211,7 +211,16 @@ def ctc_loss_hessian_vector_product(
         loss = topo.loss(ctx, topo.alpha(ctx))
         return -jnp.exp(_core.gradient_log(topo, ctx, loss))
 
+    # cast BOTH primal and tangent: jax.jvp requires equal dtypes, and every
+    # other api entry accepts reduced-precision logprobas (make_context's
+    # cast happens after the jvp boundary)
+    logprobas = jnp.asarray(logprobas, dtype=jnp.float32)
     vector = jnp.asarray(vector, dtype=jnp.float32)
+    if vector.shape != logprobas.shape:
+        raise ValueError(
+            "ctc_loss_hessian_vector_product: vector must match logprobas "
+            f"shape {logprobas.shape}, got {vector.shape}"
+        )
     _, hvp = jax.jvp(analytic_grad, (logprobas,), (vector,))
     return hvp
 

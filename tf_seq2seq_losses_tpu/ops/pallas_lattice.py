@@ -97,16 +97,26 @@ def _cfg_jit(fn):
     ``config_override`` changed any of those knobs at the same shapes.
     Each distinct config gets its own jitted callable (and its own XLA trace
     cache); the config is read once, at call time, consistently with the
-    trace that follows.
+    trace that follows.  The cache is a small LRU (config-sweeping loops —
+    benchmarks/diag_*, long-lived processes using ``config_override`` —
+    would otherwise retain an executable per visited point of a 15-field
+    product space for the process lifetime).
     """
-    cache = {}
+    from collections import OrderedDict
+
+    cache = OrderedDict()
+    max_entries = 32
 
     @functools.wraps(fn)
     def wrapper(*args):
         cfg = get_config()
         jitted = cache.get(cfg)
         if jitted is None:
+            while len(cache) >= max_entries:
+                cache.popitem(last=False)
             jitted = cache[cfg] = jax.jit(fn)
+        else:
+            cache.move_to_end(cfg)
         return jitted(*args)
 
     wrapper._cache = cache  # introspection hook for tests
@@ -561,6 +571,16 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
         # reference length distribution.  'bound' mode (chunked path) stays
         # unconditional: its boundary pack is consumed block-by-block.
         run = jnp.max(lens_ref[:]) >= j * block_t
+        if mode == "resid":
+            # The streamed bwd kernel force-runs the top time block (to
+            # apply the backward no-op fixed point to the beta init), so
+            # every residual it reads there must have been written: force
+            # the top block here too, else a batch block whose max length
+            # ends below it would leave sa_ref/saf_ref as uninitialised
+            # HBM for that forced bwd read (values were masked downstream,
+            # but the garbage intermediates break jax_debug_nans and any
+            # future unmasked consumer).
+            run = jnp.logical_or(run, j == pl.num_programs(1) - 1)
 
         def window(w, carry):
             a0, a1, e = carry
@@ -1284,7 +1304,7 @@ def _classic_grad_impl(ctx: CtcContext, pack):
     return combined, fast_loss
 
 
-def _grad_direct_assemble(ctx, sums, loss_for_mask, fast_loss, ebi,
+def _grad_direct_assemble(ctx, sums, loss_for_mask, ebi,
                           batch, num_t, num_tokens):
     """Probability-space gradient assembly — no log/exp passes over [B,T,V].
 
@@ -1321,7 +1341,7 @@ def _classic_grad_direct_impl(ctx: CtcContext, pack):
     ctx, inv = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _classic_grad_sums(ctx, pack)
     grad = _grad_direct_assemble(
-        ctx, sums, fast_loss, fast_loss, ebi, batch, num_t, num_tokens
+        ctx, sums, fast_loss, ebi, batch, num_t, num_tokens
     )
     if inv is not None:
         grad = jnp.take(grad, inv, axis=0)
@@ -1419,6 +1439,10 @@ def _simplified_fwd_kernel(mode: str, block_t: int, k_win: int):
 
         # whole-cell skip past the block max length (see _classic_fwd_kernel)
         run = jnp.max(lens_ref[:]) >= j * block_t
+        if mode == "resid":
+            # force the top block for the streamed bwd's forced read (see
+            # _classic_fwd_kernel)
+            run = jnp.logical_or(run, j == pl.num_programs(1) - 1)
 
         def window(w, carry):
             a, e = carry
@@ -1924,7 +1948,7 @@ def _simplified_grad_direct_impl(ctx: CtcContext, pack):
     ctx, inv = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _simplified_grad_sums(ctx, pack)
     grad = _grad_direct_assemble(
-        ctx, sums, fast_loss, fast_loss, ebi, batch, num_t, num_tokens
+        ctx, sums, fast_loss, ebi, batch, num_t, num_tokens
     )
     if inv is not None:
         grad = jnp.take(grad, inv, axis=0)

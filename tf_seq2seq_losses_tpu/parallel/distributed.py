@@ -84,17 +84,24 @@ def init_distributed(
                 process_id=process_id,
             )
     except RuntimeError as e:
-        if "must be called before" in str(e):
-            import warnings
+        # A RuntimeError here most commonly means the XLA backend is
+        # already up (initialize() must run first).  When the caller did
+        # not explicitly configure a pod, degrade loudly to single-process
+        # rather than crash the harness — keyed on the *call's intent*, not
+        # on JAX's exact message text (which has been reworded across
+        # versions).  An explicitly configured pod run re-raises: silently
+        # running single-process there would corrupt a real job.
+        if coordinator_address is not None:
+            raise
+        import warnings
 
-            warnings.warn(
-                "init_distributed(): XLA backend already initialised; "
-                "continuing single-process. Call init_distributed() before "
-                "any other JAX use for a pod run.",
-                stacklevel=2,
-            )
-            return False
-        raise
+        warnings.warn(
+            "init_distributed(): jax.distributed.initialize() failed "
+            f"({e}); continuing single-process. Call init_distributed() "
+            "before any other JAX use for a pod run.",
+            stacklevel=2,
+        )
+        return False
     _INITIALIZED = True
     return jax.process_count() > 1
 

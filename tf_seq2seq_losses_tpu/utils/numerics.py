@@ -61,12 +61,21 @@ def logsumexp(x: Array, y: Array) -> Array:
     every tangent finite: ``-inf`` lattice regions carry exact zero
     tangents, matching the mathematical limit.
     """
-    both_inf = jnp.isneginf(x) & jnp.isneginf(y)
+    neg_tie = jnp.isneginf(x) & jnp.isneginf(y)
+    pos_tie = jnp.isposinf(x) & jnp.isposinf(y)
+    special = neg_tie | pos_tie
     mx = jnp.maximum(x, y)
     mn = jnp.minimum(x, y)
-    diff = jnp.where(both_inf, 0.0, mn) - jnp.where(both_inf, 0.0, mx)
+    diff = jnp.where(special, 0.0, mn) - jnp.where(special, 0.0, mx)
     out = mx + jnp.log1p(jnp.exp(diff))
-    return jnp.where(both_inf, jnp.asarray(-np.inf, dtype=out.dtype), out)
+    # same-signed infinite ties short-circuit (the raw formula hits
+    # inf - inf = NaN): -inf + -inf stays exactly -inf, +inf + +inf stays
+    # exactly +inf (jnp.logaddexp's contract), both with zero tangent
+    return jnp.where(
+        neg_tie,
+        jnp.asarray(-np.inf, dtype=out.dtype),
+        jnp.where(pos_tie, jnp.asarray(np.inf, dtype=out.dtype), out),
+    )
 
 
 def reduce_logsumexp(x: Array, axis: int) -> Array:
