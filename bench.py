@@ -187,6 +187,10 @@ def main():
     fwd_optax_ms = timed_per_iter(
         _optax_classic_loss, fwd_args, forward_only=True
     )
+    # the ASR north-star config (BASELINE.json: B=256 T=500 V=128)
+    v128_args = make_inputs(BATCH, MAX_T, 128)
+    v128_ms = timed_per_iter(classic_ctc_loss, v128_args)
+    v128_optax_ms = timed_per_iter(_optax_classic_loss, v128_args)
     hessian_ms = timed_hessian_ms()
     parity = parity_check()
     print(
@@ -201,6 +205,9 @@ def main():
                 "fwd_ms_T255": round(fwd_ms, 4),
                 "fwd_optax_ms_T255": round(fwd_optax_ms, 4),
                 "fwd_vs_baseline": round(fwd_optax_ms / fwd_ms, 4),
+                "v128_ms": round(v128_ms, 4),
+                "v128_optax_ms": round(v128_optax_ms, 4),
+                "v128_vs_baseline": round(v128_optax_ms / v128_ms, 4),
                 "hessian_ms_B2T5V3": round(hessian_ms, 4),
                 "ref_gpu_ms_scaled": BASELINE_MS,
                 "parity": parity,
