@@ -15,14 +15,21 @@ CASES = [
     (4, 65, 6, 30, 7),    # T crosses several window/block boundaries
     (3, 23, 9, 129, 8),   # Lp1 just over the lane tile
     (6, 12, 4, 6, 9),     # short labels, tight feasibility
+    # every logit_length far below the padded T: the top time blocks are
+    # wholly past max(lens), exercising the forced top-block residual
+    # write/read pair of the streamed kernels (interpret mode zero-fills
+    # buffers, so only the compiled chip can catch an uninitialised read)
+    (5, 64, 5, 12, 10, 9),
 ]
 ok = True
-for batch, max_t, vocab, max_l, seed in CASES:
+for case in CASES:
+    batch, max_t, vocab, max_l, seed = case[:5]
+    gl_cap = case[5] if len(case) > 5 else max_t
     rand = np.random.RandomState(seed)
     labels = jnp.asarray(rand.randint(1, vocab, (batch, max_l)).astype(np.int32))
     logits = jnp.asarray(rand.randn(batch, max_t, vocab).astype(np.float32))
     ll = jnp.asarray(rand.randint(1, max_l + 1, (batch,)).astype(np.int32))
-    gl = jnp.asarray(rand.randint(1, max_t + 1, (batch,)).astype(np.int32))
+    gl = jnp.asarray(rand.randint(1, gl_cap + 1, (batch,)).astype(np.int32))
     for name, fn in (("classic", classic_ctc_loss), ("simplified", simplified_ctc_loss)):
         def scalar(x, fn=fn):
             out = fn(labels, x, ll, gl, 0)
