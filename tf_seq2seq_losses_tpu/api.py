@@ -180,6 +180,39 @@ def ctc_token_posteriors(
     )
 
 
+def ctc_forced_alignment(
+    labels: Array,
+    logprobas: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    topology: str = "classic",
+) -> tuple:
+    """Viterbi forced alignment: ``(alignment [B, T] int32, path_logproba
+    [B])``.
+
+    ``alignment[b, t]`` is the token (or blank) the single most probable
+    valid CTC path emits at frame ``t``; ``path_logproba`` is that path's
+    log-probability (``-inf`` for infeasible samples, whose frames come
+    back all-blank; frames past ``logit_length`` are blank).  The standard
+    companion operation for CTC acoustic models — frame labelling,
+    segmentation — which the reference library does not expose.  Same
+    lattices as the losses (ops/align.py) with ``max``/argmax in place of
+    ``logsumexp``; pure ``lax.scan``, jit-compatible.
+    """
+    from tf_seq2seq_losses_tpu.ops import align as _align
+
+    _canonical(topology)
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+    ctx = _core.make_context(labels, logprobas, label_length, logit_length, blank)
+    fn = {
+        "classic": _align.classic_viterbi,
+        "simplified": _align.simplified_viterbi,
+    }[topology]
+    path_lp, alignment = fn(ctx)
+    return alignment, path_lp
+
+
 def ctc_loss_hessian_vector_product(
     labels: Array,
     logprobas: Array,
