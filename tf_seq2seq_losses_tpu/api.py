@@ -213,6 +213,45 @@ def ctc_forced_alignment(
     return alignment, path_lp
 
 
+def ctc_beam_search_decode(
+    logprobas: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    beam_width: int = 8,
+    topology: str = "classic",
+    max_length: int = None,
+) -> tuple:
+    """CTC prefix beam search: ``(tokens [B, K, Lcap], lengths [B, K],
+    log_probs [B, K])``, beams sorted by descending total probability.
+
+    jit-compatible static-shape prefix beam search (ops/decode.py): exact
+    duplicate-prefix merging via dual rolling hashes + lexsort inside a
+    ``lax.scan``; with ``beam_width`` >= the number of reachable prefixes
+    the returned scores are the sequences' exact total CTC probabilities
+    (the enumeration-oracle tests pin this).  ``topology='classic'`` is
+    standard CTC decoding (repeat-collapse), ``'simplified'`` plain blank
+    removal.  Frames past ``logit_length`` are ignored.  The decode side
+    is absent from the reference library entirely.
+    """
+    from tf_seq2seq_losses_tpu.ops import decode as _decode
+
+    _canonical(topology)
+    if logprobas.ndim != 3:
+        raise ValueError(f"logprobas must be rank 3, got {logprobas.shape}")
+    if beam_width < 1:
+        raise ValueError(f"beam_width must be >= 1, got {beam_width}")
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+    l_cap = logprobas.shape[1] if max_length is None else max_length
+    return _decode.beam_search(
+        logprobas,
+        jnp.asarray(logit_length, jnp.int32),
+        blank,
+        beam_width,
+        l_cap,
+        topology == "classic",
+    )
+
+
 def ctc_loss_hessian_vector_product(
     labels: Array,
     logprobas: Array,
