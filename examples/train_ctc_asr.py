@@ -126,6 +126,22 @@ def main():
 
     acc = token_accuracy(state.params, eval_batch, decode_fn)
     print(f"final greedy token accuracy: {acc:.1%}")
+
+    # beam-search rescoring of the eval batch through the public API
+    from tf_seq2seq_losses_tpu import ctc_beam_search_decode
+
+    logits = enc.apply_encoder(state.params, eval_batch["features"])
+    lp = jax.nn.log_softmax(logits, axis=2)
+    gl = subsampled_length(eval_batch["feature_length"])
+    b_toks, b_lens, b_scores = ctc_beam_search_decode(
+        lp, gl, 0, beam_width=4, topology=args.topology
+    )
+    beam_acc = token_accuracy(
+        state.params, eval_batch,
+        lambda *_a, **_k: (b_toks[:, 0], b_lens[:, 0]),
+    )
+    print(f"final beam-4  token accuracy: {beam_acc:.1%} "
+          f"(top-1 mean log-prob {float(jnp.mean(b_scores[:, 0])):.2f})")
     if args.steps >= 150 and acc < 0.9:
         raise SystemExit("demo did not converge (accuracy < 90%)")
     print("OK")
