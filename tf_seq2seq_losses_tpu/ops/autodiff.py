@@ -228,12 +228,92 @@ def build_chain(topology) -> CtcVjpChain:
             jax.lax.stop_gradient(out),
         )
 
+    # ---- fused d_logits epilogue (optional, per-topology) -------------------
+    #
+    # On geometries where the topology's fused Pallas epilogue applies
+    # (topology.dlogits_ok: streamed single-chunk pack, lane-aligned
+    # vocabulary), llf_bwd's whole expression — analytic gradient assembly
+    # plus the softmax term — is computed by ONE kernel, so the ``grad``
+    # [B, T, V] intermediate never round-trips HBM.  Second derivatives stay
+    # exact: the custom VJP below differentiates the *unfused* composition
+    # (grad_fn_packed owns the analytic-Hessian rule; third order raises),
+    # so ``jacrev`` over the logits-level gradient is identical with the
+    # fusion on or off.
+    @jax.custom_vjp
+    def dlogits_fused(
+        logprobas, d_loss, labels, label_length, logit_length, blank, pack
+    ):
+        ctx = core.make_context(
+            labels, logprobas, label_length, logit_length, blank
+        )
+        return topology.dlogits_fast(ctx, d_loss, pack)
+
+    def dlogits_fused_fwd(
+        logprobas, d_loss, labels, label_length, logit_length, blank, pack
+    ):
+        out = dlogits_fused(
+            logprobas, d_loss, labels, label_length, logit_length, blank,
+            pack,
+        )
+        return out, (
+            logprobas, d_loss, labels, label_length, logit_length, blank,
+        )
+
+    def dlogits_fused_bwd(res, u):
+        logprobas, d_loss, labels, label_length, logit_length, blank = res
+
+        def unfused(lp, dl):
+            g = grad_fn_packed(
+                lp, labels, label_length, logit_length, blank, None
+            )
+            loss = jax.lax.stop_gradient(
+                loss_fn(lp, labels, label_length, logit_length, blank)
+            )
+            num_t = lp.shape[1]
+            mask = (
+                (jnp.arange(num_t)[None, :] < logit_length[:, None])
+                & jnp.isfinite(loss)[:, None]
+            )
+            return dl[:, None, None] * (g + jnp.exp(lp) * mask[:, :, None])
+
+        _, vjp = jax.vjp(unfused, logprobas, d_loss)
+        ct_lp, ct_dl = vjp(u)
+        return (
+            ct_lp,
+            ct_dl,
+            _float0(labels),
+            _float0(label_length),
+            _float0(logit_length),
+            _float0(blank),
+            None,
+        )
+
+    dlogits_fused.defvjp(dlogits_fused_fwd, dlogits_fused_bwd)
+
     def llf_bwd(res, d_loss):
         logprobas, labels, label_length, logit_length, blank, pack, loss = res
+        batch, num_t, num_tokens = logprobas.shape
+        if (
+            hasattr(topology, "dlogits_fast")
+            and pack is not None
+            and topology.dlogits_ok(
+                batch, num_t, num_tokens, labels.shape[1] + 1
+            )
+        ):
+            d_logits = dlogits_fused(
+                logprobas, d_loss, labels, label_length, logit_length,
+                blank, pack,
+            )
+            return (
+                d_logits,
+                _float0(labels),
+                _float0(label_length),
+                _float0(logit_length),
+                _float0(blank),
+            )
         g = grad_fn_packed(
             logprobas, labels, label_length, logit_length, blank, pack
         )
-        num_t = logprobas.shape[1]
         mask = (
             (jnp.arange(num_t)[None, :] < logit_length[:, None])
             & jnp.isfinite(loss)[:, None]

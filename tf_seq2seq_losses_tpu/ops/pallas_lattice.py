@@ -1191,6 +1191,36 @@ def _assemble_with_blank_identity(
     return combined, fast_loss
 
 
+def _classic_streamed_acts(ctx: CtcContext, pack):
+    """Streamed single-chunk combined acts plus their companions:
+    ``(pc [bpad, tpad, lpad], fast_loss [batch], ebi [bpad, 1],
+    probs [bpad, tpad, V], ohlm [bpad, lpad, V] bf16)``.
+
+    Shared by the sums path (scatter einsum in XLA — _classic_grad_sums)
+    and the fused-epilogue path (scatter + assembly + softmax VJP in one
+    kernel — _classic_dlogits_impl)."""
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    bpad, tpad, lpad, bb, bt, _n_chunks, _chunk_t = _grad_geometry(
+        batch, num_t, lp1
+    )
+    ck0, ck1, _cke, loss = pack
+    ebi = _ebi_from_loss(loss, bpad)
+    beta0 = _beta_init(ctx, bpad, lpad)
+    probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
+        ctx, bpad, tpad, lpad
+    )
+    dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
+    pc, f0, _f1, fe = _classic_bwd_call_streamed(
+        blank, dcpt, nb, rep, ck0, ck1, beta0, ebi,
+        _padded_lens(ctx, bpad), bb=bb, bt=bt
+    )
+    fast_loss = -(
+        jnp.log(f0[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
+    )
+    return pc, fast_loss, ebi, probs, ohlm
+
+
 def _classic_grad_sums(ctx: CtcContext, pack):
     """Shared kernel work of the gradient path: returns the token-scattered
     act sums [bpad, tpad, V], the kernel-derived loss and the act
@@ -1207,6 +1237,14 @@ def _classic_grad_sums(ctx: CtcContext, pack):
     bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
         batch, num_t, lp1
     )
+
+    if _use_stream(n_chunks):
+        # single scatter: the combined act (see _classic_bwd_kernel_streamed)
+        pc, fast_loss, ebi, _probs, ohlm = _classic_streamed_acts(ctx, pack)
+        sums = jnp.einsum(
+            "btl,blv->btv", pc, ohlm, precision=jax.lax.Precision.HIGH
+        )
+        return sums, fast_loss, ebi
 
     # streamed pack: (sa, saf, saf, loss); residual-free: (ck0/1/e, loss)
     ck0, ck1, cke, loss = pack
@@ -1226,17 +1264,7 @@ def _classic_grad_sums(ctx: CtcContext, pack):
             "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGH
         )
 
-    if _use_stream(n_chunks):
-        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
-        pc, f0, _f1, fe = _classic_bwd_call_streamed(
-            blank, dcpt, nb, rep, ck0, ck1, beta0, ebi,
-            _padded_lens(ctx, bpad), bb=bb, bt=bt
-        )
-        # single scatter: the combined act (see _classic_bwd_kernel_streamed)
-        sums = jnp.einsum(
-            "btl,blv->btv", pc, ohlm, precision=jax.lax.Precision.HIGH
-        )
-    elif n_chunks == 1:
+    if n_chunks == 1:
         dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
         ph, pd, f0, _f1, fe = _classic_bwd_call(
             blank, dcpt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
@@ -1280,11 +1308,15 @@ def _classic_grad_sums(ctx: CtcContext, pack):
 
 
 def _maybe_sort_for_grad(ctx: CtcContext):
+    """(ctx, inverse permutation, forward permutation) — permutations are
+    None when sorting is off.  ``perm`` lets callers gather per-sample
+    companions (e.g. the loss cotangent) into the sorted order."""
     batch, num_t, _ = ctx.logproba.shape
     n_chunks = _grad_geometry(batch, num_t, ctx.label.shape[1])[5]
     if _use_stream(n_chunks) and _sort_active(ctx):
-        return _sort_ctx(ctx)
-    return ctx, None
+        sorted_ctx, inv = _sort_ctx(ctx)
+        return sorted_ctx, inv, jnp.argsort(inv, stable=True)
+    return ctx, None, None
 
 
 @_cfg_jit
@@ -1292,7 +1324,7 @@ def _classic_grad_impl(ctx: CtcContext, pack):
     """(combined [B, T, V] log-space, fast_loss [B]) via the fused kernels
     (the log-form surface kept for ``gradient_log`` parity consumers)."""
     batch, num_t, num_tokens = ctx.logproba.shape
-    ctx, inv = _maybe_sort_for_grad(ctx)
+    ctx, inv, _perm = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _classic_grad_sums(ctx, pack)
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     combined, fast_loss = _assemble_with_blank_identity(
@@ -1338,7 +1370,7 @@ def _classic_grad_direct_impl(ctx: CtcContext, pack):
     """(grad [B, T, V], fast_loss [B]) — the hot-path form: one per-sample
     scalar multiply instead of the log->add->exp chain over [B, T, V]."""
     batch, num_t, num_tokens = ctx.logproba.shape
-    ctx, inv = _maybe_sort_for_grad(ctx)
+    ctx, inv, _perm = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _classic_grad_sums(ctx, pack)
     grad = _grad_direct_assemble(
         ctx, sums, fast_loss, ebi, batch, num_t, num_tokens
@@ -1862,12 +1894,44 @@ def _simplified_bwd_call_streamed(blank, dg, sa, saf, beta_init, ebi, lens,
     )(beta_init[0], beta_init[1], ebi, lens, blank, dg, sa, saf)
 
 
+def _simplified_streamed_acts(ctx: CtcContext, pack):
+    """Streamed single-chunk acts for the simplified topology; see
+    _classic_streamed_acts."""
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    bpad, tpad, lpad, bb, bt, _n_chunks, _chunk_t = _grad_geometry(
+        batch, num_t, lp1
+    )
+    ck, cke, loss = pack
+    b_hot, _, be0 = _beta_init(ctx, bpad, lpad)
+    ebi = _ebi_from_loss(loss, bpad)
+    probs, blank, ohlm = _simplified_gather_level(ctx, bpad, tpad, lpad)
+    dg = _simplified_chunk_transitions(probs, ohlm)
+    pd, fin, fe = _simplified_bwd_call_streamed(
+        blank, dg, ck, cke, (b_hot, be0), ebi, _padded_lens(ctx, bpad),
+        bb=bb, bt=bt
+    )
+    fast_loss = -(
+        jnp.log(fin[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
+    )
+    return pd, fast_loss, ebi, probs, ohlm
+
+
 def _simplified_grad_sums(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
     bpad, tpad, lpad, bb, bt, n_chunks, chunk_t = _grad_geometry(
         batch, num_t, lp1
     )
+
+    if _use_stream(n_chunks):
+        pd, fast_loss, ebi, _probs, ohlm = _simplified_streamed_acts(
+            ctx, pack
+        )
+        sums = jnp.einsum(
+            "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGH
+        )
+        return sums, fast_loss, ebi
 
     # streamed pack: (sa, saf, loss); residual-free: (ck, cke, loss)
     ck, cke, loss = pack
@@ -1880,14 +1944,7 @@ def _simplified_grad_sums(ctx: CtcContext, pack):
             "btl,blv->btv", pd, ohlm, precision=jax.lax.Precision.HIGH
         )
 
-    if _use_stream(n_chunks):
-        dg = _simplified_chunk_transitions(probs, ohlm)
-        pd, fin, fe = _simplified_bwd_call_streamed(
-            blank, dg, ck, cke, (b_hot, be0), ebi, _padded_lens(ctx, bpad),
-            bb=bb, bt=bt
-        )
-        sums = scatter(pd)
-    elif n_chunks == 1:
+    if n_chunks == 1:
         dg = _simplified_chunk_transitions(probs, ohlm)
         pd, fin, fe = _simplified_bwd_call(
             blank, dg, ck, cke, (b_hot, be0), ebi, bb=bb, bt=bt
@@ -1930,7 +1987,7 @@ def _simplified_grad_sums(ctx: CtcContext, pack):
 @_cfg_jit
 def _simplified_grad_impl(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
-    ctx, inv = _maybe_sort_for_grad(ctx)
+    ctx, inv, _perm = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _simplified_grad_sums(ctx, pack)
     non_blank = ebi[:batch, :, None] * LN2 + jnp.log(sums[:batch, :num_t])
     combined, fast_loss = _assemble_with_blank_identity(
@@ -1945,7 +2002,7 @@ def _simplified_grad_impl(ctx: CtcContext, pack):
 @_cfg_jit
 def _simplified_grad_direct_impl(ctx: CtcContext, pack):
     batch, num_t, num_tokens = ctx.logproba.shape
-    ctx, inv = _maybe_sort_for_grad(ctx)
+    ctx, inv, _perm = _maybe_sort_for_grad(ctx)
     sums, fast_loss, ebi = _simplified_grad_sums(ctx, pack)
     grad = _grad_direct_assemble(
         ctx, sums, fast_loss, ebi, batch, num_t, num_tokens
@@ -1998,3 +2055,195 @@ def simplified_gradient_log_with_loss(ctx: CtcContext, loss=None, pack=None):
 
 def simplified_gradient_log(ctx: CtcContext, loss=None) -> Array:
     return simplified_gradient_log_with_loss(ctx, loss)[0]
+
+
+# ---------------------------------------------------------------------------
+# fused d_logits epilogue
+# ---------------------------------------------------------------------------
+#
+# On the streamed single-chunk geometry the gradient epilogue is three
+# HBM-bound XLA stages: the act-scatter einsum (write ``sums`` [B, T, V]),
+# the probability-space assembly (read sums, write ``grad``), and the
+# log-softmax VJP in autodiff.llf_bwd (read grad + read logproba, write
+# d_logits).  This kernel fuses all three: per (sample, time-block) grid
+# cell it runs the scatter matmul on the MXU and emits ``d_logits``
+# directly, so ``sums`` and ``grad`` never round-trip HBM (the V-cost that
+# kept the ASR V=128 config behind the V=32 ratio — NOTES.md round-4 #2).
+#
+# The scatter is per-sample (each sample has its own one-hot), which is
+# exactly the Mosaic batch-dim ``dot_general`` dead end measured in
+# benchmarks/diag_batched_dot.py (500x).  The different formulation that
+# works: batch rides the GRID (one sample per cell), so each cell's
+# contraction is a plain 2D [bt, L] @ [L, V] MXU matmul.  It runs as two
+# bf16 passes on an exact hi/lo split of the f32 acts: one-hot operands are
+# exact in bf16, so the only error is the split residual (~2^-17 relative)
+# — tighter than the unfused einsum's bf16x3 HIGH (and one less pass).
+#
+# Applicability (``fused_epilogue_ok``): streamed single-chunk geometry and
+# a lane-aligned vocabulary (num_tokens % 128 == 0).  An unaligned V would
+# force [B, T, Vpad] padding copies of ``probs`` that cost more than the
+# fusion saves at small V; those geometries keep the unfused path.
+
+
+def fused_epilogue_ok(
+    batch: int, num_t: int, num_tokens: int, lp1: int
+) -> bool:
+    """Static gate for the fused d_logits epilogue (see module comment)."""
+    cfg = get_config()
+    if not cfg.fused_epilogue:
+        return False
+    if batch == 0 or num_t == 0:
+        return False
+    if num_tokens % 128 != 0:
+        return False
+    n_chunks = _grad_geometry(batch, num_t, lp1)[5]
+    return _use_stream(n_chunks)
+
+
+def _fused_block_t(tpad: int, lpad: int, vpad: int) -> int:
+    """Largest time-block (dividing tpad, sublane-aligned) whose working set
+    (pc + probs + out blocks, double-buffered, plus the one-hot) fits a
+    fixed 6 MB slice of VMEM; typically the whole padded time axis."""
+    budget = 6 << 20
+    bt = tpad
+
+    def est(bt_):
+        return bt_ * (lpad + 2 * vpad) * 4 * 2 + lpad * vpad * 2 * 2
+
+    while est(bt) > budget and bt % 2 == 0 and (bt // 2) % 8 == 0:
+        bt //= 2
+    return bt
+
+
+def _fused_epilogue_kernel(bt_e: int):
+    def kernel(sc_ref, dl_ref, len_ref, bl_ref, oh_ref, pc_ref, p_ref,
+               out_ref):
+        j = pl.program_id(1)
+        pc2 = pc_ref[0]  # [bt_e, lpad] f32 combined acts
+        hi = pc2.astype(jnp.bfloat16)
+        lo = (pc2 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh = oh_ref[0]  # [lpad, vpad] bf16 0/1
+        dn = (((1,), (0,)), ((), ()))
+        sums = jax.lax.dot_general(
+            hi, oh, dn, preferred_element_type=jnp.float32
+        )
+        sums = sums + jax.lax.dot_general(
+            lo, oh, dn, preferred_element_type=jnp.float32
+        )
+        sc = sc_ref[:]  # [1, 1] exp(loss + ebi*ln2): act scale residual
+        dl = dl_ref[:]  # [1, 1] d_loss, zeroed for non-finite-loss rows
+        ln = len_ref[:]  # [1, 1] logit_length, zeroed for non-finite rows
+        isbl = bl_ref[:] > 0.5  # [1, vpad] blank-lane mask
+        neg_nb = sc * sums  # -grad, non-blank lanes
+        s = jnp.sum(jnp.where(isbl, 0.0, neg_nb), axis=1, keepdims=True)
+        # blank lane from the posterior identity sum_v(-grad) = 1 (see
+        # _assemble_with_blank_identity); clamp keeps it >= 0 under rounding
+        neg = jnp.where(isbl, jnp.maximum(1.0 - s, 0.0), neg_nb)
+        # d_logits = d_loss * (grad + softmax * valid)  (autodiff.llf_bwd);
+        # the where-select (not a multiply) also discards garbage act rows
+        # of padded/infeasible/flushed samples without 0 * inf hazards
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, sums.shape, 0)
+        valid = (t_iota + j * bt_e) < ln
+        out_ref[0] = jnp.where(valid, dl * (p_ref[0] - neg), 0.0)
+
+    return kernel
+
+
+def _fused_epilogue_call(pc, oh, probs, sc, dlf, lens, isbl, *, bt_e):
+    cfg = get_config()
+    bpad, tpad, lpad = pc.shape
+    vpad = probs.shape[2]
+    grid = (bpad, tpad // bt_e)
+    return pl.pallas_call(
+        _fused_epilogue_kernel(bt_e),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, vpad), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, lpad, vpad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, bt_e, lpad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bt_e, vpad), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt_e, vpad), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bpad, tpad, vpad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
+        ),
+        interpret=cfg.interpret,
+    )(sc, dlf, lens, isbl, oh, pc, probs)
+
+
+def _fused_dlogits(ctx, pc, probs, oh, fast_loss, ebi, d_loss):
+    """d_logits [bpad, tpad, V] from the streamed acts in one kernel.
+
+    Semantically identical (to ~2^-17 relative) to
+    ``d_loss * (gradient_fast + softmax * valid_mask)`` — the composition of
+    _grad_direct_assemble with autodiff.llf_bwd's analytic log-softmax
+    cotangent."""
+    batch = ctx.logproba.shape[0]
+    num_tokens = ctx.logproba.shape[2]
+    bpad, tpad, lpad = pc.shape
+    fin = jnp.isfinite(fast_loss)
+    safe = jnp.where(fin, fast_loss, 0.0)
+    sc = jnp.exp(safe + ebi[:batch, 0] * LN2)
+    dlf = jnp.where(fin, d_loss.astype(jnp.float32), 0.0)
+    lens = jnp.where(fin, ctx.logit_length.astype(jnp.int32), 0)
+    pad = (0, bpad - batch)
+    sc = jnp.pad(sc, pad)[:, None]
+    dlf = jnp.pad(dlf, pad)[:, None]
+    lens = jnp.pad(lens, pad)[:, None]
+    isbl = (
+        jnp.arange(num_tokens) == ctx.blank_index
+    ).astype(jnp.float32)[None, :]
+    bt_e = _fused_block_t(tpad, lpad, num_tokens)
+    return _fused_epilogue_call(pc, oh, probs, sc, dlf, lens, isbl, bt_e=bt_e)
+
+
+@_cfg_jit
+def _classic_dlogits_impl(ctx: CtcContext, pack, d_loss):
+    batch, num_t, num_tokens = ctx.logproba.shape
+    ctx, inv, perm = _maybe_sort_for_grad(ctx)
+    if perm is not None:
+        d_loss = jnp.take(d_loss, perm, axis=0)
+    pc, fast_loss, ebi, probs, oh = _classic_streamed_acts(ctx, pack)
+    out = _fused_dlogits(ctx, pc, probs, oh, fast_loss, ebi, d_loss)
+    out = out[:batch, :num_t, :num_tokens]
+    if inv is not None:
+        out = jnp.take(out, inv, axis=0)
+        fast_loss = jnp.take(fast_loss, inv)
+    return out, fast_loss
+
+
+def classic_dlogits_with_loss(ctx: CtcContext, d_loss, pack=None):
+    """(d_logits [B, T, V], fast_loss [B]) via the fused epilogue kernel.
+
+    Callers must check :func:`fused_epilogue_ok` first (the streamed
+    single-chunk pack layout is assumed)."""
+    if pack is None:
+        _, pack = _classic_loss_and_pack_impl(ctx)
+    return _classic_dlogits_impl(ctx, pack, d_loss)
+
+
+@_cfg_jit
+def _simplified_dlogits_impl(ctx: CtcContext, pack, d_loss):
+    batch, num_t, num_tokens = ctx.logproba.shape
+    ctx, inv, perm = _maybe_sort_for_grad(ctx)
+    if perm is not None:
+        d_loss = jnp.take(d_loss, perm, axis=0)
+    pd, fast_loss, ebi, probs, oh = _simplified_streamed_acts(ctx, pack)
+    out = _fused_dlogits(ctx, pd, probs, oh, fast_loss, ebi, d_loss)
+    out = out[:batch, :num_t, :num_tokens]
+    if inv is not None:
+        out = jnp.take(out, inv, axis=0)
+        fast_loss = jnp.take(fast_loss, inv)
+    return out, fast_loss
+
+
+def simplified_dlogits_with_loss(ctx: CtcContext, d_loss, pack=None):
+    """See classic_dlogits_with_loss."""
+    if pack is None:
+        _, pack = _simplified_loss_and_pack_impl(ctx)
+    return _simplified_dlogits_impl(ctx, pack, d_loss)

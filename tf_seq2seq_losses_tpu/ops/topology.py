@@ -108,7 +108,8 @@ def _take_ctx(ctx: CtcContext, idx: Array) -> CtcContext:
     )
 
 
-def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
+def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
+             aux=None):
     """Select ``fast_value`` unless a feasible sample produced a non-finite
     fast loss (float32 underflow in probability space).
 
@@ -132,6 +133,12 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
     remaining flushed samples keep their +inf fast value (a trace-time
     warning documents both degradations).
 
+    ``aux``: optional per-sample companion array (leading batch axis) that
+    ``pure_fn``/``exact_fn`` need alongside the context — e.g. the loss
+    cotangent for the fused d_logits path.  When given, both functions are
+    called as ``fn(ctx, aux_rows)`` with rows gathered to match the
+    (mini-)batch.
+
     ``config.guard = False`` (env ``CTC_TPU_GUARD=0``) removes the check for
     maximum throughput when inputs are known to be sane."""
     import warnings
@@ -139,6 +146,11 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
     cfg = get_config()
     if not cfg.guard:
         return fast_value
+
+    def _call(fn, c, idx=None):
+        if aux is None:
+            return fn(c)
+        return fn(c, aux if idx is None else jnp.take(aux, idx, axis=0))
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
     cap = _fallback_cap()
@@ -165,7 +177,9 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
         exact_fn = pure_fn
     if not bucket_fits:
         # bucket disabled (0) but the full branch fits: two-way guard
-        return jax.lax.cond(n > 0, lambda: exact_fn(ctx), lambda: fast_value)
+        return jax.lax.cond(
+            n > 0, lambda: _call(exact_fn, ctx), lambda: fast_value
+        )
 
     if not full_fits:
         # whole-batch reroute would blow the cap; keep the gather repair.
@@ -192,7 +206,7 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
         # Only the rare > bucket escalation pays a whole-tensor select.
         def with_updates():
             idx = jnp.argsort(~flushed)[:bucket]  # flushed samples first
-            mini = pure_fn(_take_ctx(ctx, idx))
+            mini = _call(pure_fn, _take_ctx(ctx, idx), idx)
             keep = flushed[idx].reshape(
                 (bucket,) + (1,) * (fast_value.ndim - 1)
             )
@@ -206,11 +220,13 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
         out = fast_value.at[idx].set(upd)
         if not full_fits:
             return out
-        return jax.lax.cond(n > bucket, lambda: exact_fn(ctx), lambda: out)
+        return jax.lax.cond(
+            n > bucket, lambda: _call(exact_fn, ctx), lambda: out
+        )
 
     def repaired():
         idx = jnp.argsort(~flushed)[:bucket]  # flushed samples first
-        mini_val = pure_fn(_take_ctx(ctx, idx))
+        mini_val = _call(pure_fn, _take_ctx(ctx, idx), idx)
         sel = flushed[idx]
 
         def put(fast, mini):
@@ -224,12 +240,37 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None):
 
     branch = jnp.where(n == 0, 0, jnp.where(n <= bucket, 1, 2))
     return jax.lax.switch(
-        branch, [lambda: fast_value, repaired, lambda: exact_fn(ctx)]
+        branch, [lambda: fast_value, repaired, lambda: _call(exact_fn, ctx)]
     )
+
+
+def _compose_dlogits(ctx: CtcContext, grad: Array, loss: Array,
+                     d_loss: Array) -> Array:
+    """Unfused reference composition for the fused d_logits path:
+    ``d_loss * (grad + softmax * valid)`` with ``valid = (t < logit_length)
+    & isfinite(loss)`` — exactly autodiff.llf_bwd's analytic log-softmax
+    cotangent.  Used for the guard's repair/escalation branches."""
+    num_t = ctx.logproba.shape[1]
+    mask = (
+        (jnp.arange(num_t)[None, :] < ctx.logit_length[:, None])
+        & jnp.isfinite(loss)[:, None]
+    )
+    return d_loss[:, None, None] * (
+        grad + jnp.exp(ctx.logproba) * mask[:, :, None]
+    )
+
+
+def _dlogits_ok(batch: int, num_t: int, num_tokens: int, lp1: int) -> bool:
+    """Static gate for the fused d_logits epilogue (autodiff.llf_bwd)."""
+    if not get_config().pallas_enabled():
+        return False
+    return _pallas().fused_epilogue_ok(batch, num_t, num_tokens, lp1)
 
 
 class ClassicTopology:
     name = "classic"
+
+    dlogits_ok = staticmethod(_dlogits_ok)
 
     @staticmethod
     def alpha(ctx: CtcContext) -> Array:
@@ -323,9 +364,36 @@ class ClassicTopology:
             exact_fn=lambda c: -jnp.exp(_log().classic_gradient_log_exact(c)),
         )
 
+    @staticmethod
+    def dlogits_fast(ctx: CtcContext, d_loss, pack=None) -> Array:
+        """Fused ``d_loss * (gradient + softmax * valid)`` — the complete
+        logits-level cotangent in one kernel (no [B, T, V] intermediates).
+        Callers gate on :func:`_dlogits_ok` (streamed single-chunk
+        geometry, lane-aligned vocabulary, Pallas enabled)."""
+
+        def pure(c: CtcContext, dl):
+            pure_loss = _classic.loss(c, _classic.alpha(c))
+            g = -jnp.exp(_core.gradient_log(ClassicTopology, c, pure_loss))
+            return _compose_dlogits(c, g, pure_loss, dl)
+
+        def exact(c: CtcContext, dl):
+            loss_e = _log().classic_loss_exact(c)
+            g = -jnp.exp(_log().classic_gradient_log_exact(c))
+            return _compose_dlogits(c, g, loss_e, dl)
+
+        fast, fast_loss = _pallas().classic_dlogits_with_loss(
+            ctx, d_loss, pack
+        )
+        return _guarded(
+            fast, pure, fast_loss, _classic_feasible(ctx), ctx,
+            exact_fn=exact, aux=d_loss,
+        )
+
 
 class SimplifiedTopology:
     name = "simplified"
+
+    dlogits_ok = staticmethod(_dlogits_ok)
 
     @staticmethod
     def alpha(ctx: CtcContext) -> Array:
@@ -409,6 +477,30 @@ class SimplifiedTopology:
             exact_fn=lambda c: -jnp.exp(
                 _log().simplified_gradient_log_exact(c)
             ),
+        )
+
+    @staticmethod
+    def dlogits_fast(ctx: CtcContext, d_loss, pack=None) -> Array:
+        """See ClassicTopology.dlogits_fast."""
+
+        def pure(c: CtcContext, dl):
+            pure_loss = _simplified.loss(c, _simplified.alpha(c))
+            g = -jnp.exp(
+                _core.gradient_log(SimplifiedTopology, c, pure_loss)
+            )
+            return _compose_dlogits(c, g, pure_loss, dl)
+
+        def exact(c: CtcContext, dl):
+            loss_e = _log().simplified_loss_exact(c)
+            g = -jnp.exp(_log().simplified_gradient_log_exact(c))
+            return _compose_dlogits(c, g, loss_e, dl)
+
+        fast, fast_loss = _pallas().simplified_dlogits_with_loss(
+            ctx, d_loss, pack
+        )
+        return _guarded(
+            fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
+            exact_fn=exact, aux=d_loss,
         )
 
 

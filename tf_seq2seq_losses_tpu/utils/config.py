@@ -84,6 +84,16 @@ class KernelConfig:
     # the backward kernel at lane widths >= 512, hence the raised limit.
     vmem_budget_mb: int = 36
     vmem_limit_mb: int = 64
+    # Fuse the gradient epilogue (act-scatter matmul + probability-space
+    # assembly + log-softmax VJP) into one Pallas kernel emitting d_logits
+    # directly, so the ``sums`` and ``grad`` [B, T, V] intermediates never
+    # round-trip HBM.  Applies on the streamed single-chunk geometry when
+    # the vocabulary is lane-aligned (num_tokens % 128 == 0 — the ASR
+    # V=128 shape); other geometries keep the unfused path.  The in-kernel
+    # scatter runs as two bf16 MXU passes on an exact hi/lo split of the
+    # acts (~2^-17 relative — tighter than the unfused HIGH einsum's 3
+    # passes).
+    fused_epilogue: bool = True
     # Use the log-space Pallas kernels (ops/log_lattice.py) as the guard's
     # whole-batch exact reroute instead of the pure lax.scan path: same
     # answers (log-space f32, nothing can flush), ~4x cheaper escalation
@@ -116,6 +126,8 @@ def _env_default() -> KernelConfig:
         kw["stream_residuals"] = False
     if os.environ.get("CTC_TPU_LOG_FALLBACK") in ("0", "false", "False"):
         kw["log_fallback"] = False
+    if os.environ.get("CTC_TPU_FUSED_EPILOGUE") in ("0", "false", "False"):
+        kw["fused_epilogue"] = False
     if os.environ.get("CTC_TPU_SORT_BY_LENGTH") in ("0", "false", "False"):
         kw["sort_by_length"] = False
     for field, env in (
