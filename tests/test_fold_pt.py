@@ -1,0 +1,107 @@
+"""Folded transition streaming (``config.fold_pt``).
+
+With the fold on, the classic kernels receive ONE unmasked expected-token
+tensor ``dcu [B, T, Lpad]`` instead of the concat ``dcpt [B, T, 2*Lpad]``
+and derive ``dc = dcu * label_mask`` / ``pt = roll(dcu, 1)`` per step
+(pallas_lattice._step_transitions).  The derivation is exact — these tests
+pin bit-level parity against the unfolded path on every gradient scheme
+(streamed, residual-free recompute, chunked long-T), with repeated labels
+(the ``pt`` repeat-horizontal term is live), blank != 0, labels extending
+to the full padded width (the lane-``lp1`` wraparound edge), and the
+saturation guard.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_seq2seq_losses_tpu import classic_ctc_loss
+from tf_seq2seq_losses_tpu.utils.config import config_override
+
+INTERP = dict(use_pallas=True, interpret=True, block_batch=2, block_time=4)
+
+
+def _inputs():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 12, 8)).astype(np.float32))
+    # repeated labels exercise the preceded-token (pt) term; row 3 fills
+    # the whole label width (label_length == max_label_length, so the live
+    # lattice reaches lane lp1 - 1 — the roll-wraparound edge)
+    labels = jnp.asarray(
+        [[1, 1, 2, 2, 3], [2, 3, 2, 3, 1], [1, 1, 1, 1, 1], [4, 5, 6, 7, 2]],
+        np.int32,
+    )
+    label_length = jnp.asarray([5, 4, 3, 5], np.int32)
+    logit_length = jnp.asarray([12, 10, 8, 11], np.int32)
+    ct = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    return labels, logits, label_length, logit_length, ct
+
+
+def _loss_and_dlogits(fold, blank=0, **kw):
+    labels, logits, ll, gl, ct = _inputs()
+    with config_override(**INTERP, fold_pt=fold, **kw):
+        loss, pull = jax.vjp(
+            lambda lg: classic_ctc_loss(labels, lg, ll, gl, blank), logits
+        )
+        return np.asarray(loss), np.asarray(pull(ct)[0])
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{}, {"stream_residuals": False}, {"chunk_time": 4}, {"window": 1}],
+    ids=["streamed", "recompute", "chunked", "window1"],
+)
+def test_fold_pt_bit_exact(kw):
+    l1, g1 = _loss_and_dlogits(True, **kw)
+    l0, g0 = _loss_and_dlogits(False, **kw)
+    np.testing.assert_array_equal(l1, l0)
+    np.testing.assert_array_equal(g1, g0)
+
+
+def test_fold_pt_nonzero_blank():
+    l1, g1 = _loss_and_dlogits(True, blank=7)
+    l0, g0 = _loss_and_dlogits(False, blank=7)
+    np.testing.assert_array_equal(l1, l0)
+    np.testing.assert_array_equal(g1, g0)
+
+
+def test_fold_pt_guard_saturated():
+    """Folded fast path + guard: a flushed feasible sample still repairs."""
+    labels, logits, ll, gl, ct = _inputs()
+    bad = jnp.full(logits.shape[1:], -1e9, jnp.float32)
+    bad = bad.at[:, 3].set(0.0)
+    logits = logits.at[1].set(bad)
+    with config_override(**INTERP, fold_pt=True):
+        loss, pull = jax.vjp(
+            lambda lg: classic_ctc_loss(labels, lg, ll, gl, 0), logits
+        )
+        g = pull(ct)[0]
+    with config_override(use_pallas=False):
+        loss_p, pull_p = jax.vjp(
+            lambda lg: classic_ctc_loss(labels, lg, ll, gl, 0), logits
+        )
+        g_p = pull_p(ct)[0]
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(loss_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_p), atol=2e-5)
+
+
+def test_fold_pt_with_fused_epilogue():
+    """fold_pt composes with the fused d_logits epilogue (V=128 gate)."""
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(3, 9, 128)).astype(np.float32))
+    labels = jnp.asarray([[1, 1, 2], [5, 6, 5], [9, 9, 9]], np.int32)
+    ll = jnp.asarray([3, 3, 2], np.int32)
+    gl = jnp.asarray([9, 7, 8], np.int32)
+    ct = jnp.asarray(rng.normal(size=(3,)).astype(np.float32))
+
+    def run(fold, fused):
+        with config_override(**INTERP, fold_pt=fold, fused_epilogue=fused):
+            _, pull = jax.vjp(
+                lambda lg: classic_ctc_loss(labels, lg, ll, gl, 0), logits
+            )
+            return np.asarray(pull(ct)[0])
+
+    base = run(False, False)
+    np.testing.assert_array_equal(run(True, False), base)
+    np.testing.assert_allclose(run(True, True), base, atol=1e-5)

@@ -336,19 +336,19 @@ def _classic_gather_level(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
     oh_label = _padded_onehot(ctx.label, num_tokens, bpad, lpad)
     oh_prec = _padded_onehot(ctx.preceded_label, num_tokens, bpad, lpad)
     # fold the label-length mask into the one-hot (zero rows)
-    oh_label_masked = oh_label * _pad_mask(ctx.label_length_mask, bpad, lpad)[
-        :, :, None
-    ].astype(jnp.bfloat16)
+    lm = _pad_mask(ctx.label_length_mask, bpad, lpad)
+    oh_label_masked = oh_label * lm[:, :, None].astype(jnp.bfloat16)
     nb_mask = _pad_mask(
         ctx.preceded_label != ctx.blank_index, bpad, lpad
     )
     rep_mask = _pad_mask(
         ctx.label != jnp.roll(ctx.label, shift=1, axis=1), bpad, lpad
     )
-    return probs, blank, oh_label_masked, oh_prec, nb_mask, rep_mask
+    return probs, blank, oh_label_masked, oh_prec, nb_mask, rep_mask, lm, \
+        oh_label
 
 
-def _classic_chunk_transitions(probs, oh_label_masked, oh_prec):
+def _classic_chunk_transitions(probs, oh_label_masked, oh_prec, ohu=None):
     """``dcpt [B, T, 2*Lpad]``: expected-token probabilities (first lane
     half, length-masked) and preceded-token probabilities (second half) from
     ONE concat matmul.  The kernels derive ``pm = pt * nb_mask``
@@ -364,6 +364,15 @@ def _classic_chunk_transitions(probs, oh_label_masked, oh_prec):
     summand, so bf16x3 passes (HIGH) reproduce it to ~2^-21 relative —
     unlike the log-space gathers in ops/core.py, which must stay HIGHEST.
     """
+    if ohu is not None and get_config().fold_pt:
+        # folded (config.fold_pt): ONE unmasked expected-token tensor
+        # ``dcu [B, T, Lpad]``; the kernels derive ``dc = dcu * lm`` and
+        # ``pt = roll(dcu, 1)`` per step (_step_transitions) — half the
+        # HBM stream of the concat form
+        return jnp.einsum(
+            "btv,blv->btl", probs, ohu,
+            precision=jax.lax.Precision.HIGH,
+        )
     oh_cat = jnp.concatenate([oh_label_masked, oh_prec], axis=1)
     return jnp.einsum(
         "btv,blv->btl", probs, oh_cat,
@@ -374,9 +383,8 @@ def _classic_chunk_transitions(probs, oh_label_masked, oh_prec):
 def _classic_padded_inputs(ctx: CtcContext, bpad: int, tpad: int, lpad: int):
     """(blank, dc, pt, nb_mask, rep_mask, onehot_label_p, onehot_prec_p)
     with full-T transition tensors (the single-chunk path)."""
-    probs, blank, ohlm, ohp, nb_mask, rep_mask = _classic_gather_level(
-        ctx, bpad, tpad, lpad
-    )
+    probs, blank, ohlm, ohp, nb_mask, rep_mask, _lm, _ohu = \
+        _classic_gather_level(ctx, bpad, tpad, lpad)
     dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
     return blank, dcpt, nb_mask, rep_mask, ohlm, ohp
 
@@ -515,6 +523,26 @@ def _act_factor(fa, fb, ebi):
     return _pow2(h), _pow2(s - h)
 
 
+def _step_transitions(fold, dcpt_ref, lm_ref, k, lp):
+    """(dc, pt) at step k.
+
+    Folded (config.fold_pt): ``dcpt_ref`` holds the single UNMASKED
+    expected-token tensor ``dcu``; the masked diagonal is ``dcu * lm`` and
+    the preceded-token probabilities are a one-lane roll —
+    ``pt[l] = p[label[l-1]] = dcu[l-1]``.  Exactness at the edges: lane 0's
+    wraparound picks up ``dcu[lpad-1]`` = 0 (one-hot padding) and is dead
+    anyway (no open mass at lattice position 0, ``nb[0] = 0`` since
+    ``preceded[0]`` is the appended blank); lane ``lp1`` receives
+    ``dcu[lp1-1] = p[blank]`` instead of 0, but that lane is structurally
+    dead (its alpha/beta mass is exactly 0: ``dc``/``do``/``pm`` vanish on
+    every edge into it) and its act contribution is ``a1[lp1] * pt = 0``.
+    Unfolded: plain lane-half slices of the concat ``dcpt``."""
+    if fold:
+        dcu = dcpt_ref[:, k, :]
+        return dcu * lm_ref[:], pltpu.roll(dcu, shift=1, axis=1)
+    return dcpt_ref[:, k, :lp], dcpt_ref[:, k, lp:]
+
+
 def _classic_win_step(a0, a1, blank, dc, pm, do, s_arr):
     """One windowed forward step (classic_ctc_loss.py:415-451): pure f32."""
     d = a0 * dc + a1 * do
@@ -537,9 +565,11 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
     """
     n_win = block_t // k_win
 
+    fold = get_config().fold_pt
+
     def kernel(i0_ref, i1_ref, ie_ref, lens_ref, blank_ref, dcpt_ref, nb_ref,
-               rep_ref, *rest):
-        lp = dcpt_ref.shape[2] // 2
+               rep_ref, lm_ref, *rest):
+        lp = dcpt_ref.shape[2] // (1 if fold else 2)
         sa0_ref = sa1_ref = saf_ref = None
         if mode == "bound":
             b0_ref, b1_ref, be_ref, f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
@@ -593,8 +623,8 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
                     # one wide store per step (a0 | a1 on the lane axis)
                     sa_ref[:, k, :] = jnp.concatenate([a0, a1], axis=1)
                 blank = blank_ref[:, k, :]  # [bb, 1]
-                dc = dcpt_ref[:, k, :lp]  # [bb, Lpad]
-                pm = dcpt_ref[:, k, lp:] * nb_ref[:]
+                dc, pt = _step_transitions(fold, dcpt_ref, lm_ref, k, lp)
+                pm = pt * nb_ref[:]
                 do = dc * rep_ref[:]
                 a0, a1 = _classic_win_step(a0, a1, blank, dc, pm, do, s_arr)
             return a0, a1, f
@@ -649,10 +679,15 @@ def _alpha_init(bpad: int, lpad: int):
 
 
 def _classic_fwd_call(blank, dcpt, nb, rep, *, mode, bb, bt, init=None,
-                      lens=None):
+                      lens=None, lm=None):
     cfg = get_config()
     bpad, tpad, lpad2 = dcpt.shape
-    lpad = lpad2 // 2
+    lpad = lpad2 // (1 if cfg.fold_pt else 2)
+    if lm is None:
+        # dead input on the unfolded path (kept for a stable kernel
+        # signature); the folded path requires the real mask
+        assert not cfg.fold_pt, "fold_pt requires the label-length mask"
+        lm = jnp.ones((bpad, lpad), jnp.float32)
     if init is None:
         init = _alpha_init(bpad, lpad)
     if lens is None:
@@ -704,10 +739,11 @@ def _classic_fwd_call(blank, dcpt, nb, rep, *, mode, bb, bt, init=None,
         )
         out_specs = (vec, vec, vec)
 
+    dspec = big if cfg.fold_pt else big2
     return pl.pallas_call(
         _classic_fwd_kernel(mode, bt, _k_win(bt)),
         grid=grid,
-        in_specs=[vec, vec, vec, svec, small, big2, vec, vec],
+        in_specs=[vec, vec, vec, svec, small, dspec, vec, vec, vec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -723,7 +759,7 @@ def _classic_fwd_call(blank, dcpt, nb, rep, *, mode, bb, bt, init=None,
             vmem_limit_bytes=cfg.vmem_limit_mb << 20,
         ),
         interpret=cfg.interpret,
-    )(init[0], init[1], init[2], lens, blank, dcpt, nb, rep)
+    )(init[0], init[1], init[2], lens, blank, dcpt, nb, rep, lm)
 
 
 def _pick_loss(f0, f1, fe, ctx, batch, lp1):
@@ -738,18 +774,18 @@ def _classic_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
                       emit_checkpoints):
     """Forward pass as a chunk scan; returns (final carry, chunk-initial
     checkpoints or None).  n_chunks == 1 short-circuits to a single call."""
-    probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
+    probs, blank, ohlm, ohp, nb, rep, lm, ohu = _classic_gather_level(
         ctx, bpad, tpad, lpad
     )
     if n_chunks == 1:
-        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs, ohlm, ohp, ohu)
         if emit_checkpoints:
             b0, b1, be, f0, f1, fe = _classic_fwd_call(
-                blank, dcpt, nb, rep, mode="bound", bb=bb, bt=bt
+                blank, dcpt, nb, rep, lm=lm, mode="bound", bb=bb, bt=bt
             )
             return (f0, f1, fe), (b0, b1, be)
         return _classic_fwd_call(
-            blank, dcpt, nb, rep, mode="final", bb=bb, bt=bt
+            blank, dcpt, nb, rep, lm=lm, mode="final", bb=bb, bt=bt
         ), None
 
     num_v = probs.shape[2]
@@ -760,9 +796,10 @@ def _classic_fwd_scan(ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t,
             probs, (0, t0, 0), (bpad, chunk_t, num_v)
         )
         blank_c = jax.lax.dynamic_slice(blank, (0, t0, 0), (bpad, chunk_t, 1))
-        dcpt = _classic_chunk_transitions(probs_c, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs_c, ohlm, ohp, ohu)
         fin = _classic_fwd_call(
-            blank_c, dcpt, nb, rep, mode="final", init=carry, bb=bb, bt=bt
+            blank_c, dcpt, nb, rep, lm=lm, mode="final", init=carry,
+            bb=bb, bt=bt
         )
         return fin, (carry if emit_checkpoints else None)
 
@@ -817,12 +854,12 @@ def _classic_loss_and_pack_impl(ctx: CtcContext):
         inv = None
         if _sort_active(ctx):
             ctx, inv = _sort_ctx(ctx)
-        probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
+        probs, blank, ohlm, ohp, nb, rep, lm, ohu = _classic_gather_level(
             ctx, bpad, tpad, lpad
         )
-        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs, ohlm, ohp, ohu)
         sa, saf, f0, f1, fe = _classic_fwd_call(
-            blank, dcpt, nb, rep, mode="resid", bb=bb, bt=bt,
+            blank, dcpt, nb, rep, lm=lm, mode="resid", bb=bb, bt=bt,
             lens=_padded_lens(ctx, bpad),
         )
         loss_s = _pick_loss(f0, f1, fe, ctx, batch, lp1)
@@ -868,15 +905,16 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
     test_classic_ctc_loss.py:146-167).
     """
     n_win = block_t // k_win
+    fold = get_config().fold_pt
 
     def kernel(
         bi0_ref, bi1_ref, bie_ref, ebi_ref,
-        blank_ref, dcpt_ref, nb_ref, rep_ref,
+        blank_ref, dcpt_ref, nb_ref, rep_ref, lm_ref,
         bb0_ref, bb1_ref, bbe_ref,
         ph_ref, pd_ref, f0_ref, f1_ref, fe_ref,
         sa0, sa1, saf, b0_s, b1_s, e_s,
     ):
-        lp = dcpt_ref.shape[2] // 2
+        lp = dcpt_ref.shape[2] // (1 if fold else 2)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -895,8 +933,8 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
                 sa0[:, k, :] = a0
                 sa1[:, k, :] = a1
                 blank = blank_ref[:, k, :]
-                dc = dcpt_ref[:, k, :lp]
-                pm = dcpt_ref[:, k, lp:] * nb_ref[:]
+                dc, pt = _step_transitions(fold, dcpt_ref, lm_ref, k, lp)
+                pm = pt * nb_ref[:]
                 do = dc * rep_ref[:]
                 a0, a1 = _classic_win_step(a0, a1, blank, dc, pm, do, s_arr)
             return a0, a1, f
@@ -920,8 +958,7 @@ def _classic_bwd_kernel(block_t: int, k_win: int):
             for kk in range(k_win - 1, -1, -1):
                 k = w * k_win + kk
                 blank = blank_ref[:, k, :]
-                dc = dcpt_ref[:, k, :lp]
-                pt = dcpt_ref[:, k, lp:]
+                dc, pt = _step_transitions(fold, dcpt_ref, lm_ref, k, lp)
                 pm = pt * nb_ref[:]
                 do = dc * rep_ref[:]
                 a0 = sa0[:, k, :]
@@ -969,14 +1006,18 @@ def _beta_init(ctx: CtcContext, bpad: int, lpad: int):
 
 
 def _classic_bwd_call(
-    blank, dcpt, nb, rep, bnd0, bnd1, bnde, beta_init, ebi, *, bb, bt
+    blank, dcpt, nb, rep, bnd0, bnd1, bnde, beta_init, ebi, *, bb, bt,
+    lm=None
 ):
     """beta_init: (b0, b1, e) [bpad, lpad] carry at the end of this span;
     ebi: [bpad, 1] f32 act normaliser; bnd*: [n_tb, bpad, lpad] boundary
     carries.  Returns (ph, pd, beta-final b0/b1/e)."""
     cfg = get_config()
     bpad, tpad, lpad2 = dcpt.shape
-    lpad = lpad2 // 2
+    lpad = lpad2 // (1 if cfg.fold_pt else 2)
+    if lm is None:
+        assert not cfg.fold_pt, "fold_pt requires the label-length mask"
+        lm = jnp.ones((bpad, lpad), jnp.float32)
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
@@ -988,10 +1029,11 @@ def _classic_bwd_call(
 
     big3 = jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32)
     kw = _k_win(bt)
+    dspec = big if cfg.fold_pt else big2
     return pl.pallas_call(
         _classic_bwd_kernel(bt, kw),
         grid=grid,
-        in_specs=[vec, vec, vec, svec, small, big2, vec, vec,
+        in_specs=[vec, vec, vec, svec, small, dspec, vec, vec, vec,
                   bound, bound, bound],
         out_specs=(big, big, vec, vec, vec),
         out_shape=(
@@ -1017,7 +1059,7 @@ def _classic_bwd_call(
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], beta_init[2], ebi,
-      blank, dcpt, nb, rep, bnd0, bnd1, bnde)
+      blank, dcpt, nb, rep, lm, bnd0, bnd1, bnde)
 
 
 def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
@@ -1039,15 +1081,16 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
     l+1 <= label_length).
     """
     n_win = block_t // k_win
+    fold = get_config().fold_pt
 
     def kernel(
         bi0_ref, bi1_ref, bie_ref, ebi_ref, lens_ref,
-        blank_ref, dcpt_ref, nb_ref, rep_ref,
+        blank_ref, dcpt_ref, nb_ref, rep_ref, lm_ref,
         sa_ref, saf_ref,
         pc_ref, f0_ref, f1_ref, fe_ref,
         b0_s, b1_s, e_s,
     ):
-        lp = dcpt_ref.shape[2] // 2
+        lp = dcpt_ref.shape[2] // (1 if fold else 2)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -1077,12 +1120,11 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
             for kk in range(k_win - 1, -1, -1):
                 k = w * k_win + kk
                 blank = blank_ref[:, k, :]
-                dc = dcpt_ref[:, k, :lp]
-                pt = dcpt_ref[:, k, lp:]
+                dc, pt = _step_transitions(fold, dcpt_ref, lm_ref, k, lp)
                 pm = pt * nb_ref[:]
                 do = dc * rep_ref[:]
-                a0 = sa_ref[:, k, :lp]
-                a1 = sa_ref[:, k, lp:]
+                a0 = sa_ref[:, k, :lpad]
+                a1 = sa_ref[:, k, lpad:]
 
                 arr = pltpu.roll(b1, shift=lpad - 1, axis=1) * s_arr
                 d = a0 * dc + a1 * do
@@ -1122,13 +1164,16 @@ def _classic_bwd_kernel_streamed(block_t: int, k_win: int):
 
 
 def _classic_bwd_call_streamed(
-    blank, dcpt, nb, rep, sa, saf, beta_init, ebi, lens, *, bb, bt
+    blank, dcpt, nb, rep, sa, saf, beta_init, ebi, lens, *, bb, bt, lm=None
 ):
     """Streamed-residual backward: returns (pc combined acts, beta-final
     b0/b1/e)."""
     cfg = get_config()
     bpad, tpad, lpad2 = dcpt.shape
-    lpad = lpad2 // 2
+    lpad = lpad2 // (1 if cfg.fold_pt else 2)
+    if lm is None:
+        assert not cfg.fold_pt, "fold_pt requires the label-length mask"
+        lm = jnp.ones((bpad, lpad), jnp.float32)
     n_tb = tpad // bt
     grid = (bpad // bb, n_tb)
     big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
@@ -1140,10 +1185,11 @@ def _classic_bwd_call_streamed(
     n_w = bt // kw
     frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
 
+    dspec = big if cfg.fold_pt else big2
     return pl.pallas_call(
         _classic_bwd_kernel_streamed(bt, kw),
         grid=grid,
-        in_specs=[vec, vec, vec, svec, svec, small, big2, vec, vec,
+        in_specs=[vec, vec, vec, svec, svec, small, dspec, vec, vec, vec,
                   big2, frame],
         out_specs=(big, vec, vec, vec),
         out_shape=(
@@ -1163,7 +1209,7 @@ def _classic_bwd_call_streamed(
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], beta_init[2], ebi, lens,
-      blank, dcpt, nb, rep, sa, saf)
+      blank, dcpt, nb, rep, lm, sa, saf)
 
 
 def _assemble_with_blank_identity(
@@ -1207,13 +1253,13 @@ def _classic_streamed_acts(ctx: CtcContext, pack):
     ck0, ck1, _cke, loss = pack
     ebi = _ebi_from_loss(loss, bpad)
     beta0 = _beta_init(ctx, bpad, lpad)
-    probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
+    probs, blank, ohlm, ohp, nb, rep, lm, ohu = _classic_gather_level(
         ctx, bpad, tpad, lpad
     )
-    dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
+    dcpt = _classic_chunk_transitions(probs, ohlm, ohp, ohu)
     pc, f0, _f1, fe = _classic_bwd_call_streamed(
         blank, dcpt, nb, rep, ck0, ck1, beta0, ebi,
-        _padded_lens(ctx, bpad), bb=bb, bt=bt
+        _padded_lens(ctx, bpad), bb=bb, bt=bt, lm=lm
     )
     fast_loss = -(
         jnp.log(f0[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
@@ -1250,7 +1296,7 @@ def _classic_grad_sums(ctx: CtcContext, pack):
     ck0, ck1, cke, loss = pack
     ebi = _ebi_from_loss(loss, bpad)
     beta0 = _beta_init(ctx, bpad, lpad)
-    probs, blank, ohlm, ohp, nb, rep = _classic_gather_level(
+    probs, blank, ohlm, ohp, nb, rep, lm, ohu = _classic_gather_level(
         ctx, bpad, tpad, lpad
     )
 
@@ -1265,9 +1311,10 @@ def _classic_grad_sums(ctx: CtcContext, pack):
         )
 
     if n_chunks == 1:
-        dcpt = _classic_chunk_transitions(probs, ohlm, ohp)
+        dcpt = _classic_chunk_transitions(probs, ohlm, ohp, ohu)
         ph, pd, f0, _f1, fe = _classic_bwd_call(
-            blank, dcpt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt
+            blank, dcpt, nb, rep, ck0, ck1, cke, beta0, ebi, bb=bb, bt=bt,
+            lm=lm
         )
         sums = scatter(ph, pd)
     else:
@@ -1282,14 +1329,14 @@ def _classic_grad_sums(ctx: CtcContext, pack):
             blank_c = jax.lax.dynamic_slice(
                 blank, (0, t0, 0), (bpad, chunk_t, 1)
             )
-            dcpt = _classic_chunk_transitions(probs_c, ohlm, ohp)
+            dcpt = _classic_chunk_transitions(probs_c, ohlm, ohp, ohu)
             b0c, b1c, bec, _, _, _ = _classic_fwd_call(
-                blank_c, dcpt, nb, rep, mode="bound",
+                blank_c, dcpt, nb, rep, lm=lm, mode="bound",
                 init=(ck0[cr], ck1[cr], cke[cr]), bb=bb, bt=bt,
             )
             ph, pd, fb0, fb1, fbe = _classic_bwd_call(
                 blank_c, dcpt, nb, rep, b0c, b1c, bec, carry, ebi,
-                bb=bb, bt=bt,
+                bb=bb, bt=bt, lm=lm,
             )
             return (fb0, fb1, fbe), scatter(ph, pd)
 

@@ -84,6 +84,15 @@ class KernelConfig:
     # the backward kernel at lane widths >= 512, hence the raised limit.
     vmem_budget_mb: int = 36
     vmem_limit_mb: int = 64
+    # Stream ONE unmasked expected-token transition tensor ``dcu [B,T,L]``
+    # to the classic kernels instead of the concat ``dcpt [B,T,2L]``, and
+    # derive the masked diagonal (``dc = dcu * label_mask``) and the
+    # preceded-token probabilities (``pt[l] = p[label[l-1]] = dcu[l-1]``,
+    # a one-lane roll) in-kernel.  Halves the largest HBM stream of the
+    # gradient path (written once, read by BOTH the forward and backward
+    # kernels) for ~2 extra VPU ops per step; exact — the wraparound and
+    # past-length lanes are structurally dead (see _step_transitions).
+    fold_pt: bool = False
     # Fuse the gradient epilogue (act-scatter matmul + probability-space
     # assembly + log-softmax VJP) into one Pallas kernel emitting d_logits
     # directly, so the ``sums`` and ``grad`` [B, T, V] intermediates never
@@ -128,6 +137,8 @@ def _env_default() -> KernelConfig:
         kw["log_fallback"] = False
     if os.environ.get("CTC_TPU_FUSED_EPILOGUE") in ("0", "false", "False"):
         kw["fused_epilogue"] = False
+    if os.environ.get("CTC_TPU_FOLD_PT") in ("1", "true", "True"):
+        kw["fold_pt"] = True
     if os.environ.get("CTC_TPU_SORT_BY_LENGTH") in ("0", "false", "False"):
         kw["sort_by_length"] = False
     for field, env in (
