@@ -159,3 +159,55 @@ def test_fused_gate_static():
     ):
         # two chunks at T=9 -> streamed pack unavailable
         assert not fused_epilogue_ok(4, 9, 128, 5)
+
+
+def test_fused_dlogits_under_vmap():
+    """The fused kernel batches correctly under vmap (pallas batching
+    rule adds a grid dim); parity vs the unfused path."""
+    rng = np.random.default_rng(0)
+    G, B, T, L = 2, 2, 9, 3
+    logits = jnp.asarray(rng.normal(size=(G, B, T, V)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, V, size=(G, B, L)).astype(np.int32))
+    ll = jnp.full((G, B), 3, jnp.int32)
+    gl = jnp.full((G, B), 9, jnp.int32)
+
+    def per_group(lg, la, l1, l2):
+        _, pull = jax.vjp(
+            lambda x: classic_ctc_loss(la, x, l1, l2, 0), lg
+        )
+        return pull(jnp.ones((B,)))[0]
+
+    with config_override(**INTERP, fused_epilogue=True):
+        out = jax.vmap(per_group)(logits, labels, ll, gl)
+    with config_override(**INTERP, fused_epilogue=False):
+        ref = jax.vmap(per_group)(logits, labels, ll, gl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_dlogits_under_shard_map():
+    """Data-parallel shard_map over the fused path: each shard runs the
+    fused kernel locally; gradient matches the unfused path."""
+    from tf_seq2seq_losses_tpu.parallel.sharding import (
+        make_mesh, shard_batch, sharded_mean_ctc_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, L = 8, 9, 3
+    logits = jnp.asarray(rng.normal(size=(B, T, V)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, V, size=(B, L)).astype(np.int32))
+    ll = jnp.full((B,), 3, jnp.int32)
+    gl = jnp.full((B,), 9, jnp.int32)
+    mesh = make_mesh()
+
+    def run(fused):
+        with config_override(**INTERP, fused_epilogue=fused):
+            fn = sharded_mean_ctc_loss(mesh)
+            args = shard_batch(mesh, (labels, logits, ll, gl))
+            return jax.value_and_grad(
+                lambda x: fn(args[0], x, args[2], args[3])
+            )(args[1])
+
+    v_f, g_f = run(True)
+    v_u, g_u = run(False)
+    np.testing.assert_allclose(float(v_f), float(v_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_u), atol=1e-5)
