@@ -43,21 +43,28 @@ def optax_loss(labels, logits, label_length, logit_length, blank_index):
 B = int(os.environ.get("QB_B", 256))
 T = int(os.environ.get("QB_T", 500))
 
+# (fold_pt, half_stream, fused_epilogue) combos; fused only matters at
+# V % 128 == 0, so V=32 sweeps (fold, half) and V=128 runs the fused column
+COMBOS = {
+    32: [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)],
+    128: [(0, 0, 0), (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)],
+}
+
 for vocab in (32, 128):
     args = make_inputs(B, T, vocab)
-    for fold in (False, True):
-        for fused in (False, True):
-            if fused and vocab % 128 != 0:
-                continue  # gate is off; identical to fused=False
-            with config_override(fold_pt=fold, fused_epilogue=fused):
-                ms = timed(classic_ctc_loss, args)
-            print(
-                f"V={vocab:<4d} classic fold={int(fold)} fused={int(fused)}:"
-                f" {ms:7.3f} ms",
-                flush=True,
-            )
-    with config_override(fold_pt=True, fused_epilogue=True):
+    for fold, half, fused in COMBOS[vocab]:
+        with config_override(
+            fold_pt=bool(fold), half_stream=bool(half),
+            fused_epilogue=bool(fused),
+        ):
+            ms = timed(classic_ctc_loss, args)
+        print(
+            f"V={vocab:<4d} classic fold={fold} half={half} fused={fused}:"
+            f" {ms:7.3f} ms",
+            flush=True,
+        )
+    with config_override(fold_pt=True, half_stream=True, fused_epilogue=True):
         ms = timed(simplified_ctc_loss, args)
-    print(f"V={vocab:<4d} simplified fold=1 fused=1: {ms:7.3f} ms", flush=True)
+    print(f"V={vocab:<4d} simplified (all levers):  {ms:7.3f} ms", flush=True)
     ms = timed(optax_loss, args)
     print(f"V={vocab:<4d} optax:                    {ms:7.3f} ms", flush=True)

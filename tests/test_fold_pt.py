@@ -105,3 +105,37 @@ def test_fold_pt_with_fused_epilogue():
     base = run(False, False)
     np.testing.assert_array_equal(run(True, False), base)
     np.testing.assert_allclose(run(True, True), base, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{}, {"fold_pt": True}, {"window": 1}, {"unroll": False}],
+    ids=["plain", "with-fold", "window1", "fori"],
+)
+def test_half_stream_bit_exact(kw):
+    """config.half_stream: the bwd kernel's rebuilt a0 (2-op recurrence in
+    the stored window frames) is bit-identical to the fully streamed pair."""
+    fold = kw.pop("fold_pt", False)
+    l1, g1 = _loss_and_dlogits(fold, half_stream=True, **kw)
+    l0, g0 = _loss_and_dlogits(fold, half_stream=False, **kw)
+    np.testing.assert_array_equal(l1, l0)
+    np.testing.assert_array_equal(g1, g0)
+
+
+def test_half_stream_guard_saturated():
+    labels, logits, ll, gl, ct = _inputs()
+    bad = jnp.full(logits.shape[1:], -1e9, jnp.float32)
+    bad = bad.at[:, 3].set(0.0)
+    logits = logits.at[1].set(bad)
+    with config_override(**INTERP, half_stream=True):
+        loss, pull = jax.vjp(
+            lambda lg: classic_ctc_loss(labels, lg, ll, gl, 0), logits
+        )
+        g = pull(ct)[0]
+    with config_override(use_pallas=False):
+        loss_p, pull_p = jax.vjp(
+            lambda lg: classic_ctc_loss(labels, lg, ll, gl, 0), logits
+        )
+        g_p = pull_p(ct)[0]
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(loss_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_p), atol=2e-5)

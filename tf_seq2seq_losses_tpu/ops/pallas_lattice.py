@@ -576,6 +576,9 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
         elif mode == "resid":
             (sa_ref, saf_ref, f0_ref, f1_ref, fe_ref,
              a0_s, a1_s, e_s) = rest
+        elif mode == "resid1":
+            (sa_ref, saf_ref, b0_ref, be_ref, f0_ref, f1_ref, fe_ref,
+             a0_s, a1_s, e_s) = rest
         else:
             f0_ref, f1_ref, fe_ref, a0_s, a1_s, e_s = rest
         j = pl.program_id(1)
@@ -586,10 +589,13 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
             a1_s[:] = i1_ref[:]
             e_s[:] = ie_ref[:]
 
-        if mode == "bound":
-            # carry entering this block == boundary checkpoint
+        if mode in ("bound", "resid1"):
+            # carry entering this block == boundary checkpoint ("resid1"
+            # checkpoints a0 only: the backward kernel rebuilds the closed
+            # state from it with the 2-op recurrence)
             b0_ref[0, :, :] = a0_s[:]
-            b1_ref[0, :, :] = a1_s[:]
+            if mode == "bound":
+                b1_ref[0, :, :] = a1_s[:]
             be_ref[0, :, :] = e_s[:]
 
         # Whole-cell skip: steps at t >= logit_length see forced-blank
@@ -601,7 +607,7 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
         # reference length distribution.  'bound' mode (chunked path) stays
         # unconditional: its boundary pack is consumed block-by-block.
         run = jnp.max(lens_ref[:]) >= j * block_t
-        if mode == "resid":
+        if mode in ("resid", "resid1"):
             # The streamed bwd kernel force-runs the top time block (to
             # apply the backward no-op fixed point to the beta init), so
             # every residual it reads there must have been written: force
@@ -615,13 +621,15 @@ def _classic_fwd_kernel(mode: str, block_t: int, k_win: int):
         def window(w, carry):
             a0, a1, e = carry
             (a0, a1), f, s_arr = _open_window([a0, a1], e, k_win, True)
-            if mode == "resid":
+            if mode in ("resid", "resid1"):
                 saf_ref[w, :, :] = f
             for kk in range(k_win):
                 k = w * k_win + kk
                 if mode == "resid":
                     # one wide store per step (a0 | a1 on the lane axis)
                     sa_ref[:, k, :] = jnp.concatenate([a0, a1], axis=1)
+                elif mode == "resid1":
+                    sa_ref[:, k, :] = a1
                 blank = blank_ref[:, k, :]  # [bb, 1]
                 dc, pt = _step_transitions(fold, dcpt_ref, lm_ref, k, lp)
                 pm = pt * nb_ref[:]
@@ -731,6 +739,23 @@ def _classic_fwd_call(blank, dcpt, nb, rep, *, mode, bb, bt, init=None,
             jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
         )
         out_specs = (big2, frame, vec, vec, vec)
+    elif mode == "resid1":
+        # open-state mantissas only + per-window frames + per-block a0/e
+        # boundary carries (config.half_stream: the backward kernel
+        # rebuilds a0 with its 2-op recurrence)
+        kw = _k_win(bt)
+        n_w = bt // kw
+        frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (j, i, 0))
+        out_shape = (
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tb * n_w, bpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tb, bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tb, bpad, lpad), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        )
+        out_specs = (big, frame, bound, bound, vec, vec, vec)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
@@ -858,15 +883,24 @@ def _classic_loss_and_pack_impl(ctx: CtcContext):
             ctx, bpad, tpad, lpad
         )
         dcpt = _classic_chunk_transitions(probs, ohlm, ohp, ohu)
-        sa, saf, f0, f1, fe = _classic_fwd_call(
-            blank, dcpt, nb, rep, lm=lm, mode="resid", bb=bb, bt=bt,
-            lens=_padded_lens(ctx, bpad),
-        )
+        if get_config().half_stream:
+            sa, saf, ab0, abe, f0, f1, fe = _classic_fwd_call(
+                blank, dcpt, nb, rep, lm=lm, mode="resid1", bb=bb, bt=bt,
+                lens=_padded_lens(ctx, bpad),
+            )
+            boundary = (ab0, abe)
+        else:
+            sa, saf, f0, f1, fe = _classic_fwd_call(
+                blank, dcpt, nb, rep, lm=lm, mode="resid", bb=bb, bt=bt,
+                lens=_padded_lens(ctx, bpad),
+            )
+            boundary = saf
         loss_s = _pick_loss(f0, f1, fe, ctx, batch, lp1)
         loss = loss_s if inv is None else jnp.take(loss_s, inv)
         # pack stays in SORTED order (incl. its loss copy): the grad impl
-        # re-derives the same stable permutation from the unsorted ctx
-        return loss, (sa, saf, saf, loss_s)
+        # re-derives the same stable permutation from the unsorted ctx;
+        # slot 3 carries the a0/e boundary pair under half_stream
+        return loss, (sa, saf, boundary, loss_s)
     (f0, f1, fe), cks = _classic_fwd_scan(
         ctx, bpad, tpad, lpad, bb, bt, n_chunks, chunk_t, True
     )
@@ -1212,6 +1246,163 @@ def _classic_bwd_call_streamed(
       blank, dcpt, nb, rep, lm, sa, saf)
 
 
+def _classic_bwd_kernel_half(block_t: int, k_win: int):
+    """Half-streamed backward kernel (config.half_stream).
+
+    Like _classic_bwd_kernel_streamed but the forward kernel streamed only
+    the OPEN mantissas ``a1`` (resid1 mode); phase 1 rebuilds the closed
+    state across the block from its a0/e boundary carry with the 2-op
+    recurrence ``a0' = (a0 + a1) * blank`` — the same mantissa ops in the
+    same per-window frames as the forward kernel (rescaled between windows
+    by ``2^(f_prev - f_w)`` from the stored frames), so the rebuilt a0 is
+    bit-identical to what resid mode would have streamed.  Phase 2 is the
+    beta/act scan of the streamed kernel reading a0 from VMEM scratch."""
+    n_win = block_t // k_win
+    fold = get_config().fold_pt
+
+    def kernel(
+        bi0_ref, bi1_ref, bie_ref, ebi_ref, lens_ref,
+        blank_ref, dcpt_ref, nb_ref, rep_ref, lm_ref,
+        sa_ref, saf_ref, ab0_ref, abe_ref,
+        pc_ref, f0_ref, f1_ref, fe_ref,
+        a0_sc, b0_s, b1_s, e_s,
+    ):
+        lp = dcpt_ref.shape[2] // (1 if fold else 2)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            b0_s[:] = bi0_ref[:]
+            b1_s[:] = bi1_ref[:]
+            e_s[:] = bie_ref[:]
+
+        ebi = ebi_ref[:]  # [bb, 1] f32
+        lpad = b1_s.shape[1]
+
+        tb = pl.num_programs(1) - 1 - j
+        run = jnp.logical_or(
+            tb * block_t < jnp.max(lens_ref[:]), j == 0
+        )
+
+        # ---- phase 1: rebuild a0 forward across the block ---------------
+        def a0_window(w, carry):
+            a0, e_prev = carry
+            f = saf_ref[w, :, :]
+            a0 = a0 * _pow2(e_prev - f)
+            for kk in range(k_win):
+                k = w * k_win + kk
+                a0_sc[:, k, :] = a0
+                a0 = (a0 + sa_ref[:, k, :]) * blank_ref[:, k, :]
+            return a0, f
+
+        def bwd_window(wr, carry):
+            w = n_win - 1 - wr
+            b0, b1, eb = carry
+            (b0, b1), fb, s_arr = _open_window([b0, b1], eb, k_win, False)
+            s_hi, s_lo = _act_factor(saf_ref[w, :, :], fb, ebi)
+            for kk in range(k_win - 1, -1, -1):
+                k = w * k_win + kk
+                blank = blank_ref[:, k, :]
+                dc, pt = _step_transitions(fold, dcpt_ref, lm_ref, k, lp)
+                pm = pt * nb_ref[:]
+                do = dc * rep_ref[:]
+                a0 = a0_sc[:, k, :]
+                a1 = sa_ref[:, k, :]
+
+                arr = pltpu.roll(b1, shift=lpad - 1, axis=1) * s_arr
+                d = a0 * dc + a1 * do
+                ph_s = (a1 * pt * b1) * s_hi * s_lo
+                pd_s = d * arr * s_hi * s_lo
+                pc_ref[:, k, :] = pd_s + pltpu.roll(
+                    ph_s, shift=lpad - 1, axis=1
+                )
+
+                hc = blank * b0
+                n0 = hc + dc * arr
+                n1 = hc + pm * b1 + do * arr
+                b0, b1 = n0, n1
+            return b0, b1, fb
+
+        @pl.when(run)
+        def _():
+            a_carry = (ab0_ref[0, :, :], abe_ref[0, :, :])
+            if get_config().unroll:
+                for _w in range(n_win):
+                    a_carry = a0_window(_w, a_carry)
+            else:
+                jax.lax.fori_loop(0, n_win, a0_window, a_carry)
+            carry = (b0_s[:], b1_s[:], e_s[:])
+            if get_config().unroll:
+                for _wr in range(n_win):
+                    carry = bwd_window(_wr, carry)
+            else:
+                carry = jax.lax.fori_loop(0, n_win, bwd_window, carry)
+            b0_s[:], b1_s[:], e_s[:] = carry
+
+        @pl.when(jnp.logical_not(run))
+        def _():
+            pc_ref[:] = jnp.zeros_like(pc_ref)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            f0_ref[:] = b0_s[:]
+            f1_ref[:] = b1_s[:]
+            fe_ref[:] = e_s[:]
+
+    return kernel
+
+
+def _classic_bwd_call_half(
+    blank, dcpt, nb, rep, sa, saf, ab0, abe, beta_init, ebi, lens, *,
+    bb, bt, lm=None
+):
+    """Half-streamed backward: (pc combined acts, beta-final b0/b1/e)."""
+    cfg = get_config()
+    bpad, tpad, lpad2 = dcpt.shape
+    lpad = lpad2 // (1 if cfg.fold_pt else 2)
+    if lm is None:
+        assert not cfg.fold_pt, "fold_pt requires the label-length mask"
+        lm = jnp.ones((bpad, lpad), jnp.float32)
+    n_tb = tpad // bt
+    grid = (bpad // bb, n_tb)
+    big = pl.BlockSpec((bb, bt, lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    big2 = pl.BlockSpec((bb, bt, 2 * lpad), lambda i, j: (i, n_tb - 1 - j, 0))
+    small = pl.BlockSpec((bb, bt, 1), lambda i, j: (i, n_tb - 1 - j, 0))
+    vec = pl.BlockSpec((bb, lpad), lambda i, j: (i, 0))
+    svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
+    bound = pl.BlockSpec((1, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
+    kw = _k_win(bt)
+    n_w = bt // kw
+    frame = pl.BlockSpec((n_w, bb, lpad), lambda i, j: (n_tb - 1 - j, i, 0))
+    dspec = big if cfg.fold_pt else big2
+
+    return pl.pallas_call(
+        _classic_bwd_kernel_half(bt, kw),
+        grid=grid,
+        in_specs=[vec, vec, vec, svec, svec, small, dspec, vec, vec, vec,
+                  big, frame, bound, bound],
+        out_specs=(big, vec, vec, vec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bpad, tpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, lpad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, bt, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.float32),
+            pltpu.VMEM((bb, lpad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb << 20,
+        ),
+        interpret=cfg.interpret,
+    )(beta_init[0], beta_init[1], beta_init[2], ebi, lens,
+      blank, dcpt, nb, rep, lm, sa, saf, ab0, abe)
+
+
 def _assemble_with_blank_identity(
     ctx: CtcContext, non_blank, fast_loss, batch, num_t, num_tokens
 ):
@@ -1250,17 +1441,24 @@ def _classic_streamed_acts(ctx: CtcContext, pack):
     bpad, tpad, lpad, bb, bt, _n_chunks, _chunk_t = _grad_geometry(
         batch, num_t, lp1
     )
-    ck0, ck1, _cke, loss = pack
+    ck0, ck1, cke, loss = pack
     ebi = _ebi_from_loss(loss, bpad)
     beta0 = _beta_init(ctx, bpad, lpad)
     probs, blank, ohlm, ohp, nb, rep, lm, ohu = _classic_gather_level(
         ctx, bpad, tpad, lpad
     )
     dcpt = _classic_chunk_transitions(probs, ohlm, ohp, ohu)
-    pc, f0, _f1, fe = _classic_bwd_call_streamed(
-        blank, dcpt, nb, rep, ck0, ck1, beta0, ebi,
-        _padded_lens(ctx, bpad), bb=bb, bt=bt, lm=lm
-    )
+    if get_config().half_stream:
+        ab0, abe = cke
+        pc, f0, _f1, fe = _classic_bwd_call_half(
+            blank, dcpt, nb, rep, ck0, ck1, ab0, abe, beta0, ebi,
+            _padded_lens(ctx, bpad), bb=bb, bt=bt, lm=lm
+        )
+    else:
+        pc, f0, _f1, fe = _classic_bwd_call_streamed(
+            blank, dcpt, nb, rep, ck0, ck1, beta0, ebi,
+            _padded_lens(ctx, bpad), bb=bb, bt=bt, lm=lm
+        )
     fast_loss = -(
         jnp.log(f0[:batch, 0]) + fe[:batch, 0].astype(jnp.float32) * LN2
     )

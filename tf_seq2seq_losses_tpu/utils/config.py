@@ -84,6 +84,15 @@ class KernelConfig:
     # the backward kernel at lane widths >= 512, hence the raised limit.
     vmem_budget_mb: int = 36
     vmem_limit_mb: int = 64
+    # Half-streamed residuals: the forward kernel streams only the OPEN
+    # alpha mantissas ``a1 [B,T,L]`` (plus per-block a0 boundary carries);
+    # the backward kernel rebuilds the closed state with its 2-op
+    # recurrence ``a0' = (a0 + a1) * blank`` (bit-identical: same mantissa
+    # ops in the same window frames, rescaled by the stored per-window
+    # frames).  Halves the second-largest HBM stream of the gradient path
+    # (the [B, T, 2L] alpha residuals) for ~3 extra VPU ops/step in the
+    # backward kernel.  Only meaningful when stream_residuals is on.
+    half_stream: bool = False
     # Stream ONE unmasked expected-token transition tensor ``dcu [B,T,L]``
     # to the classic kernels instead of the concat ``dcpt [B,T,2L]``, and
     # derive the masked diagonal (``dc = dcu * label_mask``) and the
@@ -101,8 +110,10 @@ class KernelConfig:
     # V=128 shape); other geometries keep the unfused path.  The in-kernel
     # scatter runs as two bf16 MXU passes on an exact hi/lo split of the
     # acts (~2^-17 relative — tighter than the unfused HIGH einsum's 3
-    # passes).
-    fused_epilogue: bool = True
+    # passes).  Default off until validated/measured on a real chip (the
+    # interpret-mode tests pin semantics, not Mosaic lowering); enable
+    # with CTC_TPU_FUSED_EPILOGUE=1 or config_override.
+    fused_epilogue: bool = False
     # Use the log-space Pallas kernels (ops/log_lattice.py) as the guard's
     # whole-batch exact reroute instead of the pure lax.scan path: same
     # answers (log-space f32, nothing can flush), ~4x cheaper escalation
@@ -135,10 +146,13 @@ def _env_default() -> KernelConfig:
         kw["stream_residuals"] = False
     if os.environ.get("CTC_TPU_LOG_FALLBACK") in ("0", "false", "False"):
         kw["log_fallback"] = False
-    if os.environ.get("CTC_TPU_FUSED_EPILOGUE") in ("0", "false", "False"):
-        kw["fused_epilogue"] = False
+    flag = os.environ.get("CTC_TPU_FUSED_EPILOGUE")
+    if flag is not None:
+        kw["fused_epilogue"] = flag not in ("0", "false", "False")
     if os.environ.get("CTC_TPU_FOLD_PT") in ("1", "true", "True"):
         kw["fold_pt"] = True
+    if os.environ.get("CTC_TPU_HALF_STREAM") in ("1", "true", "True"):
+        kw["half_stream"] = True
     if os.environ.get("CTC_TPU_SORT_BY_LENGTH") in ("0", "false", "False"):
         kw["sort_by_length"] = False
     for field, env in (
