@@ -18,6 +18,7 @@ from tf_seq2seq_losses_tpu.api import (
     classic_ctc_loss,
     ctc_loss,
     ctc_beam_search_decode,
+    ctc_greedy_decode,
     ctc_forced_alignment,
     ctc_loss_from_logproba,
     ctc_loss_gradient,
@@ -38,6 +39,7 @@ __all__ = [
     "ctc_loss_hessian_vector_product",
     "ctc_forced_alignment",
     "ctc_beam_search_decode",
+    "ctc_greedy_decode",
     "ctc_token_posteriors",
     "BaseCtcLossData",
     "ClassicCtcLossData",

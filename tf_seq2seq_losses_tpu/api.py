@@ -213,6 +213,41 @@ def ctc_forced_alignment(
     return alignment, path_lp
 
 
+def ctc_greedy_decode(
+    logprobas: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    topology: str = "classic",
+    max_length: int = None,
+) -> tuple:
+    """Best-path (greedy) decoding: ``(tokens [B, Lcap], lengths [B],
+    log_probs [B])`` — the ``tf.nn.ctc_greedy_decoder`` analogue.
+
+    Arg-max token per frame below ``logit_length``, consecutive repeats
+    collapsed for ``topology='classic'`` (plain blank removal for
+    ``'simplified'``), blanks dropped, survivors left-compacted; the score
+    is the greedy frame path's log-probability.  Fully vectorised (no
+    scan), so it is effectively free next to the loss.  For the exact
+    highest-probability *alignment* use :func:`ctc_forced_alignment`-style
+    Viterbi via ``ctc_beam_search_decode``; greedy is the standard fast
+    approximation.
+    """
+    from tf_seq2seq_losses_tpu.ops import decode as _decode
+
+    _canonical(topology)
+    if logprobas.ndim != 3:
+        raise ValueError(f"logprobas must be rank 3, got {logprobas.shape}")
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+    l_cap = logprobas.shape[1] if max_length is None else max_length
+    return _decode.greedy_decode(
+        logprobas,
+        jnp.asarray(logit_length, jnp.int32),
+        blank,
+        l_cap,
+        topology == "classic",
+    )
+
+
 def ctc_beam_search_decode(
     logprobas: Array,
     logit_length: Array,

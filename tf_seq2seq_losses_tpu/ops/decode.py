@@ -195,6 +195,59 @@ def _beam_search_single(
     return tokens[order], length[order], score[order]
 
 
+def greedy_decode(
+    logprobas: Array,  # [B, T, V]
+    logit_length: Array,  # [B]
+    blank_index: Array,  # [] int32
+    max_length: int,
+    merge_repeats: bool,
+) -> Tuple[Array, Array, Array]:
+    """Best-path (greedy) decoding — the ``tf.nn.ctc_greedy_decoder``
+    analogue, fully vectorised (no scan: argmax + mask + one compaction
+    scatter, so it is a handful of XLA ops over ``[B, T]``).
+
+    Per sample: take the arg-max token of every frame ``t < logit_length``,
+    collapse consecutive repeats (``merge_repeats=True``, classic topology),
+    drop blanks, and left-compact the survivors.
+
+    Returns ``(tokens [B, max_length], lengths [B], scores [B])`` where
+    ``scores`` is the log-probability of the greedy frame path (the sum of
+    per-frame maxima) and token slots at/after ``lengths`` are zero.
+    Decodes longer than ``max_length`` are truncated (length reports the
+    clipped value).
+    """
+    num_b, num_t, _ = logprobas.shape
+    lp = logprobas.astype(jnp.float32)
+    best_lp = jnp.max(lp, axis=2)  # [B, T]
+    am = jnp.argmax(lp, axis=2).astype(jnp.int32)  # [B, T]
+
+    t_ids = jnp.arange(num_t, dtype=jnp.int32)[None, :]
+    valid = t_ids < jnp.asarray(logit_length, jnp.int32)[:, None]
+    scores = jnp.sum(jnp.where(valid, best_lp, 0.0), axis=1)
+
+    keep = valid & (am != blank_index)
+    if merge_repeats:
+        prev = jnp.concatenate(
+            [jnp.full((num_b, 1), -1, jnp.int32), am[:, :-1]], axis=1
+        )
+        # frame 0 is always a run start; lengths mask a contiguous prefix,
+        # so for t >= 1 the previous frame is valid whenever frame t is
+        keep &= am != prev
+
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # [B, T]
+    lengths = jnp.minimum(pos[:, -1] + 1, max_length)
+    # scatter kept tokens to their compacted slot; dropped/overflow frames
+    # all land in a sacrificial slot `max_length` that is sliced off (kept
+    # in-range slots are written at most once, so order is irrelevant)
+    idx = jnp.where(keep & (pos < max_length), pos, max_length)
+    tokens = (
+        jnp.zeros((num_b, max_length + 1), jnp.int32)
+        .at[jnp.arange(num_b, dtype=jnp.int32)[:, None], idx]
+        .set(am, mode="drop")[:, :max_length]
+    )
+    return tokens, lengths, scores
+
+
 def beam_search(
     logprobas: Array,  # [B, T, V]
     logit_length: Array,  # [B]
