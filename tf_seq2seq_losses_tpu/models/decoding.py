@@ -4,13 +4,18 @@ The reference ships losses only; decoding is included here because every CTC
 training loop needs at least greedy decode for validation (the end-to-end
 model test uses it to confirm the label is recovered).
 
-Both functions are jit-friendly: static shapes, mask-based, batch-major.
+These are convenience wrappers over :func:`ops.decode.greedy_decode` (the
+engine behind the public ``ctc_greedy_decode``): they take raw logits
+(arg-max is invariant under log-softmax) and pad with ``blank_index``
+instead of zero — the contract the training example and model tests use.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from tf_seq2seq_losses_tpu.ops.decode import greedy_decode as _greedy
 
 Array = jax.Array
 
@@ -24,14 +29,7 @@ def greedy_decode_classic(
     Returns ``(tokens [B, T], length [B])`` with tokens left-aligned and
     padded with ``blank_index``.
     """
-    best = jnp.argmax(logits, axis=2)  # [B, T]
-    num_t = best.shape[1]
-    valid = jnp.arange(num_t)[None, :] < logit_length[:, None]
-    prev = jnp.concatenate(
-        [jnp.full_like(best[:, :1], -1), best[:, :-1]], axis=1
-    )
-    keep = valid & (best != blank_index) & (best != prev)
-    return _compact(best, keep, blank_index)
+    return _decode(logits, logit_length, blank_index, merge_repeats=True)
 
 
 def greedy_decode_simplified(
@@ -39,26 +37,17 @@ def greedy_decode_simplified(
 ):
     """Best-path decode with the simplified rule (`a_bb_ccc_c -> abbcccc`):
     drop blanks only, no repeat merging."""
-    best = jnp.argmax(logits, axis=2)
-    num_t = best.shape[1]
-    valid = jnp.arange(num_t)[None, :] < logit_length[:, None]
-    keep = valid & (best != blank_index)
-    return _compact(best, keep, blank_index)
+    return _decode(logits, logit_length, blank_index, merge_repeats=False)
 
 
-def _compact(tokens: Array, keep: Array, pad_value: int):
-    """Left-align the kept tokens per row (stable), pad with ``pad_value``."""
-    num_t = tokens.shape[1]
-    # target position of each kept token = number of kept tokens before it
-    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-    pos = jnp.where(keep, pos, num_t)  # dump dropped tokens past the end
-    out = jnp.full(tokens.shape, pad_value, dtype=tokens.dtype)
-    batch_idx = jnp.arange(tokens.shape[0])[:, None]
-    padded = jnp.concatenate(
-        [out, jnp.zeros_like(out[:, :1])], axis=1
-    )  # extra dump column
-    padded = padded.at[batch_idx, jnp.minimum(pos, num_t)].set(
-        jnp.where(keep, tokens, pad_value)
+def _decode(logits, logit_length, blank_index, merge_repeats):
+    num_t = logits.shape[1]
+    tokens, length, _ = _greedy(
+        logits,
+        jnp.asarray(logit_length, jnp.int32),
+        jnp.asarray(blank_index, jnp.int32),
+        num_t,
+        merge_repeats,
     )
-    length = jnp.sum(keep.astype(jnp.int32), axis=1)
-    return padded[:, :num_t], length
+    pad = jnp.arange(num_t, dtype=jnp.int32)[None, :] >= length[:, None]
+    return jnp.where(pad, blank_index, tokens), length
