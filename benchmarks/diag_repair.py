@@ -72,5 +72,8 @@ if __name__ == "__main__":
     print(f"1 saturated sample: {one_ms:.3f} ms ({one_ms / clean_ms:.2f}x, "
           f"target <= 1.5x)", flush=True)
     many_ms = timed(saturate(logits, range(20)))
-    print(f"20 saturated (> bucket, whole-batch reroute): {many_ms:.3f} ms "
-          f"({many_ms / clean_ms:.2f}x)", flush=True)
+    print(f"20 saturated (> bucket, tier-2 gathered log-kernel repair): "
+          f"{many_ms:.3f} ms ({many_ms / clean_ms:.2f}x)", flush=True)
+    most_ms = timed(saturate(logits, range(80)))
+    print(f"80 saturated (> bucket2, whole-batch log-kernel reroute): "
+          f"{most_ms:.3f} ms ({most_ms / clean_ms:.2f}x)", flush=True)

@@ -120,3 +120,77 @@ def test_escalation_routes_through_log_kernels(topology):
         g_got = jax.grad(scalar)(args[1])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)
+
+
+def _mixed_saturation_batch(n_saturated, batch=5, max_t=6, vocab=4):
+    """A batch where exactly ``n_saturated`` feasible samples flush on the
+    fast probability-space path (wrong-certain predictions) and the rest
+    are ordinary random inputs; returns (args, pure-path loss/grad)."""
+    from tf_seq2seq_losses_tpu import classic_ctc_loss
+
+    rand = np.random.RandomState(7)
+    logits = rand.randn(batch, max_t, vocab).astype(np.float32)
+    logits[:n_saturated] = 0.0
+    logits[:n_saturated, :, 3] = 100.0  # certain wrong token -> flush
+    labels = np.tile(np.array([[1, 2]], np.int32), (batch, 1))
+    args = (
+        jnp.asarray(labels),
+        jnp.asarray(logits),
+        jnp.full((batch,), 2, jnp.int32),
+        jnp.full((batch,), max_t, jnp.int32),
+    )
+
+    def scalar(x):
+        out = classic_ctc_loss(args[0], x, args[2], args[3], 0)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    with config_override(use_pallas=False):
+        want = classic_ctc_loss(*args, 0)
+        g_want = jax.grad(scalar)(args[1])
+    return args, scalar, want, g_want
+
+
+@pytest.mark.parametrize("n_saturated", [2, 4])
+def test_tiered_escalation_matches_pure(n_saturated):
+    """Tier-2 gathered log-kernel repair (bucket < n <= bucket2) and the
+    whole-batch reroute beyond it (n > bucket2) both reproduce the pure
+    reference, for the loss and the [B, T, V] gradient (scatter form)."""
+    from tf_seq2seq_losses_tpu import classic_ctc_loss
+
+    args, scalar, want, g_want = _mixed_saturation_batch(n_saturated)
+    # bucket=1 < n; bucket2=3 -> n=2 exercises tier 2, n=4 the whole batch
+    with config_override(repair_bucket=1, repair_bucket2=3, log_fallback=True):
+        got = classic_ctc_loss(*args, 0)
+        g_got = jax.grad(scalar)(args[1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_want), atol=1e-4
+    )
+
+
+def test_tier2_repairs_above_the_hbm_cap():
+    """Above the whole-batch HBM cap the tier-2 gather survives: up to
+    bucket2 flushed samples are still repaired exactly (finite), and the
+    clean samples keep their fast values."""
+    from tf_seq2seq_losses_tpu import classic_ctc_loss
+
+    from tf_seq2seq_losses_tpu.ops.topology import _est_fallback_bytes
+
+    args, scalar, want, g_want = _mixed_saturation_batch(2)
+    ctx = core_mod.make_context(args[0], args[1], args[2], args[3], 0)
+    # cap admits the bucket2=3 mini-batch exactly but not the full batch
+    cap = _est_fallback_bytes(3, args[1].shape[1], ctx.label.shape[1])
+    with config_override(repair_bucket=1, repair_bucket2=3, log_fallback=True):
+        import os
+
+        old = os.environ.get("CTC_TPU_GUARD_FALLBACK_BYTES")
+        os.environ["CTC_TPU_GUARD_FALLBACK_BYTES"] = str(cap)
+        try:
+            with pytest.warns(UserWarning, match="whole-batch exact reroute"):
+                got = classic_ctc_loss(*args, 0)
+        finally:
+            if old is None:
+                os.environ.pop("CTC_TPU_GUARD_FALLBACK_BYTES")
+            else:
+                os.environ["CTC_TPU_GUARD_FALLBACK_BYTES"] = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)

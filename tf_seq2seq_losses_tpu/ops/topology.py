@@ -126,6 +126,14 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
     cheaper than the pure ``lax.scan`` reroute, so >bucket saturation costs
     ~kernel time instead of an 8x step-time cliff.
 
+    With ``exact_fn`` available the escalation itself is tiered
+    (``config.repair_bucket2``): bucket < n <= bucket2 flushed samples are
+    *gathered* through the log-space kernels as a mini-batch (cost
+    ~log-kernel(bucket2) on top of the fast pass), and only n > bucket2
+    pays the whole-batch exact reroute.  Both tiers live inside the
+    escalation branch, so the clean path is byte-identical to the
+    single-tier form.
+
     Above the HBM cap (``_fallback_cap``) the whole-batch branch is dropped
     first and the gather path kept as long as *its* O(bucket*T*L) working set
     fits (ADVICE r2): at e.g. B=256, T=4000 the guard still repairs up to a
@@ -173,8 +181,20 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
     # of paying for a pointless reroute
     flushed = jnp.isposinf(loss_like) & feasible
     n = jnp.sum(flushed.astype(jnp.int32))
-    if exact_fn is None or not cfg.log_fallback:
+    has_exact = exact_fn is not None and cfg.log_fallback
+    if not has_exact:
         exact_fn = pure_fn
+    # Second-tier gathered repair (inside the escalation branch only — the
+    # clean path is untouched): up to repair_bucket2 flushed samples are
+    # recomputed through the log-space kernels as a mini-batch, so the
+    # > bucket escalation costs ~log-kernel(bucket2), not log-kernel(B).
+    bucket2 = min(cfg.repair_bucket2, batch)
+    tier2 = (
+        has_exact
+        and bucket2 > bucket
+        and bucket_fits
+        and _est_fallback_bytes(bucket2, num_t, lp1) <= cap
+    )
     if not bucket_fits:
         # bucket disabled (0) but the full branch fits: two-way guard
         return jax.lax.cond(
@@ -183,12 +203,14 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
 
     if not full_fits:
         # whole-batch reroute would blow the cap; keep the gather repair.
-        # n > bucket leaves the overflow samples at +inf (documented).
+        # n > the largest bucket leaves the overflow samples at +inf
+        # (documented).
         warnings.warn(
             "ctc saturation guard: whole-batch exact reroute disabled at "
             f"this shape (working set over the {cap >> 20} MB cap); up to "
-            f"{bucket} flushed samples per batch are repaired exactly, any "
-            "beyond that keep their +inf fast-path value.",
+            f"{bucket2 if tier2 else bucket} flushed samples per batch are "
+            "repaired exactly, any beyond that keep their +inf fast-path "
+            "value.",
             stacklevel=2,
         )
 
@@ -218,30 +240,66 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
 
         idx, upd = jax.lax.cond(n > 0, with_updates, no_updates)
         out = fast_value.at[idx].set(upd)
+
+        def whole():
+            return _call(exact_fn, ctx)
+
+        if tier2:
+            def escalate():
+                # gathered log-kernel repair of up to bucket2 flushed rows;
+                # runs only when n > bucket, so the clean path never sees it
+                idx2 = jnp.argsort(~flushed)[:bucket2]
+                mini2 = _call(exact_fn, _take_ctx(ctx, idx2), idx2)
+                keep2 = flushed[idx2].reshape(
+                    (bucket2,) + (1,) * (fast_value.ndim - 1)
+                )
+                rep2 = out.at[idx2].set(jnp.where(keep2, mini2, out[idx2]))
+                if bucket2 >= batch or not full_fits:
+                    return rep2
+                return jax.lax.cond(n > bucket2, whole, lambda: rep2)
+
+            return jax.lax.cond(n > bucket, escalate, lambda: out)
         if not full_fits:
             return out
-        return jax.lax.cond(
-            n > bucket, lambda: _call(exact_fn, ctx), lambda: out
+        return jax.lax.cond(n > bucket, whole, lambda: out)
+
+    def make_repaired(fn, k):
+        def repaired():
+            idx = jnp.argsort(~flushed)[:k]  # flushed samples first
+            mini_val = _call(fn, _take_ctx(ctx, idx), idx)
+            sel = flushed[idx]
+
+            def put(fast, mini):
+                keep = sel.reshape((k,) + (1,) * (fast.ndim - 1))
+                return fast.at[idx].set(jnp.where(keep, mini, fast[idx]))
+
+            return jax.tree.map(put, fast_value, mini_val)
+
+        return repaired
+
+    repaired = make_repaired(pure_fn, bucket)
+    identity = lambda: fast_value  # noqa: E731
+    whole = lambda: _call(exact_fn, ctx)  # noqa: E731
+
+    if tier2:
+        repaired2 = make_repaired(exact_fn, bucket2)
+        if bucket2 >= batch or not full_fits:
+            branch = jnp.where(n == 0, 0, jnp.where(n <= bucket, 1, 2))
+            return jax.lax.switch(branch, [identity, repaired, repaired2])
+        branch = jnp.where(
+            n == 0,
+            0,
+            jnp.where(n <= bucket, 1, jnp.where(n <= bucket2, 2, 3)),
+        )
+        return jax.lax.switch(
+            branch, [identity, repaired, repaired2, whole]
         )
 
-    def repaired():
-        idx = jnp.argsort(~flushed)[:bucket]  # flushed samples first
-        mini_val = _call(pure_fn, _take_ctx(ctx, idx), idx)
-        sel = flushed[idx]
-
-        def put(fast, mini):
-            keep = sel.reshape((bucket,) + (1,) * (fast.ndim - 1))
-            return fast.at[idx].set(jnp.where(keep, mini, fast[idx]))
-
-        return jax.tree.map(put, fast_value, mini_val)
-
     if not full_fits:
-        return jax.lax.cond(n > 0, repaired, lambda: fast_value)
+        return jax.lax.cond(n > 0, repaired, identity)
 
     branch = jnp.where(n == 0, 0, jnp.where(n <= bucket, 1, 2))
-    return jax.lax.switch(
-        branch, [lambda: fast_value, repaired, lambda: _call(exact_fn, ctx)]
-    )
+    return jax.lax.switch(branch, [identity, repaired, whole])
 
 
 def _compose_dlogits(ctx: CtcContext, grad: Array, loss: Array,

@@ -45,6 +45,15 @@ class KernelConfig:
     # whole-batch pure reroute is reserved for > repair_bucket flushes.
     # 0 disables the bucket (always whole-batch reroute).
     repair_bucket: int = 16
+    # Second-tier repair bucket for the > repair_bucket escalation: up to
+    # repair_bucket2 flushed samples are gathered and recomputed through the
+    # exact log-space KERNELS as a mini-batch (scattered back), so even a
+    # heavily saturated batch costs ~log-kernel(bucket2) on top of the fast
+    # pass instead of a whole-batch reroute; only > repair_bucket2 flushes
+    # (or log_fallback off) pay the whole-batch exact path.  Lives entirely
+    # inside the escalation branch — the clean path is unchanged.  Must
+    # exceed repair_bucket to engage; 0 disables the tier.
+    repair_bucket2: int = 64
     # Frozen-frame window length: per-lane exponent renormalisation and
     # roll-alignment factors are recomputed every `window` steps instead of
     # every step (the steps in between are plain f32 FMAs).  Larger windows
@@ -160,6 +169,7 @@ def _env_default() -> KernelConfig:
         ("block_time", "CTC_TPU_BLOCK_TIME"),
         ("window", "CTC_TPU_WINDOW"),
         ("repair_bucket", "CTC_TPU_REPAIR_BUCKET"),
+        ("repair_bucket2", "CTC_TPU_REPAIR_BUCKET2"),
         ("chunk_time", "CTC_TPU_CHUNK_TIME"),
         ("vmem_budget_mb", "CTC_TPU_VMEM_BUDGET_MB"),
         ("vmem_limit_mb", "CTC_TPU_VMEM_LIMIT_MB"),
