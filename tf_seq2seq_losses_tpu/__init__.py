@@ -24,6 +24,7 @@ from tf_seq2seq_losses_tpu.api import (
     ctc_loss_gradient,
     ctc_loss_hessian,
     ctc_loss_hessian_vector_product,
+    ctc_sample_alignments,
     ctc_token_posteriors,
     simplified_ctc_loss,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "ctc_beam_search_decode",
     "ctc_greedy_decode",
     "ctc_token_posteriors",
+    "ctc_sample_alignments",
     "BaseCtcLossData",
     "ClassicCtcLossData",
     "SimplifiedCtcLossData",

@@ -213,6 +213,47 @@ def ctc_forced_alignment(
     return alignment, path_lp
 
 
+def ctc_sample_alignments(
+    labels: Array,
+    logprobas: Array,
+    label_length: Array,
+    logit_length: Array,
+    blank_index: IntLike,
+    key: Array,
+    num_samples: int = 1,
+    topology: str = "classic",
+) -> tuple:
+    """Exact samples from the alignment posterior ``P(path | label, logits)``:
+    ``(alignments [B, S, T] int32, path_logprobas [B, S])``.
+
+    Forward-filtering backward-sampling over the same lattices the losses
+    use (ops/sample.py): one alpha pass shared by all ``S`` samples, then a
+    Gumbel-max categorical walk backwards over each frame's <=3 predecessor
+    candidates.  Completes the alignment toolset: soft
+    (:func:`ctc_token_posteriors`), hard argmax
+    (:func:`ctc_forced_alignment`), and now stochastic draws — for
+    minimum-Bayes-risk / sampled sequence training, alignment uncertainty,
+    and segmentation augmentation.  Frames past ``logit_length`` are blank;
+    infeasible samples return ``-inf`` path log-prob and all-blank
+    alignments.  The reference library exposes losses only.
+    """
+    from tf_seq2seq_losses_tpu.ops import sample as _sample
+
+    topo, _ = _canonical(topology)
+    if num_samples < 1:
+        raise ValueError(f"num_samples must be >= 1, got {num_samples}")
+    blank = jnp.asarray(blank_index, dtype=jnp.int32)
+    ctx = _core.make_context(
+        labels, logprobas, label_length, logit_length, blank
+    )
+    fn = (
+        _sample.classic_sample
+        if topology == "classic"
+        else _sample.simplified_sample
+    )
+    return fn(ctx, key, num_samples)
+
+
 def ctc_greedy_decode(
     logprobas: Array,
     logit_length: Array,
