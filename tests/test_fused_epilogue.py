@@ -116,6 +116,41 @@ def test_fused_dlogits_guard_repair():
     )
 
 
+def test_fused_dlogits_tier2_escalation():
+    """More flushed samples than repair_bucket but within repair_bucket2:
+    the gathered log-kernel tier must repair the fused d_logits (the aux
+    cotangent rows ride the gather) and match the pure reference.
+
+    Saturation scale: -200-per-frame wrong-certain logits flush the
+    probability-space kernels (~87-nat float32 range) while staying far
+    inside float32 log-space resolution, so the log-kernel and pure exact
+    paths agree to tolerance.  (At 1e9-scale logits both paths are
+    individually stable but their sub-ULP path-tie rounding differs — the
+    reference pins only loss/one-hot-grad there, not cross-implementation
+    d_logits equality.)"""
+    labels, logits, ll, gl = _inputs(seed=6)
+    bad = jnp.full(logits.shape[1:], -200.0, jnp.float32)
+    bad = bad.at[:, 3].set(0.0)
+    for b in range(3):  # saturate samples 0..2 (feasible, flushing)
+        logits = logits.at[b].set(bad)
+        labels = labels.at[b].set(jnp.array([1, 2, 1, 2], jnp.int32))
+    ll = jnp.asarray([4, 4, 4, int(ll[3])], jnp.int32)
+    gl = jnp.asarray([9, 9, 9, int(gl[3])], jnp.int32)
+    ct = jnp.asarray(np.random.RandomState(13).randn(4).astype(np.float32))
+    with config_override(
+        **INTERP, fused_epilogue=True, repair_bucket=1, repair_bucket2=3
+    ):
+        out_f = _vjp(classic_ctc_loss, labels, logits, ll, gl, ct)
+    with config_override(use_pallas=False):
+        out_p = _vjp(classic_ctc_loss, labels, logits, ll, gl, ct)
+    assert np.all(np.isfinite(np.asarray(out_f)))
+    # |loss| ~ 1800 nats: two exact log-space implementations can differ by
+    # ~|loss|*eps_f32 ~ 2e-4 in the log domain; this is a ROUTING test
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_p), atol=5e-4
+    )
+
+
 @pytest.mark.slow
 def test_fused_dlogits_second_order_matches():
     """jacrev over the logits-level gradient must be identical with the
