@@ -108,6 +108,39 @@ def test_distribution_matches_enumeration(topology, collapse):
         )
 
 
+def test_sampled_posteriors_match_analytic():
+    """Cross-feature pin: the per-frame token histogram of FFBS draws must
+    converge to the analytic ``ctc_token_posteriors`` (two independent code
+    paths: marginalisation vs sampling)."""
+    from tf_seq2seq_losses_tpu import ctc_token_posteriors
+
+    num_t, vocab = 4, 3
+    lp = _inputs(1, num_t, vocab, seed=8)
+    labels = jnp.asarray([[1, 2]], jnp.int32)
+    ll = jnp.asarray([2], jnp.int32)
+    gl = jnp.asarray([num_t], jnp.int32)
+
+    post = np.asarray(
+        ctc_token_posteriors(labels, jnp.asarray(lp), ll, gl, 0)
+    )[0]  # [T, V]
+
+    n = 4000
+    align, _ = ctc_sample_alignments(
+        labels, jnp.asarray(lp), ll, gl, 0,
+        jax.random.PRNGKey(7), num_samples=n,
+    )
+    align = np.asarray(align)[0]  # [n, T]
+    emp = np.zeros((num_t, vocab))
+    for t in range(num_t):
+        for v in range(vocab):
+            emp[t, v] = np.mean(align[:, t] == v)
+
+    sigma = np.sqrt(np.maximum(post * (1 - post), 1e-12) / n)
+    assert np.all(np.abs(emp - post) <= 5 * sigma + 1e-9), (
+        np.abs(emp - post) / (sigma + 1e-12)
+    )
+
+
 def test_infeasible_and_empty_label():
     lp = _inputs(2, 3, 3, seed=5)
     labels = np.asarray([[1, 2], [0, 0]], np.int32)
