@@ -12,6 +12,7 @@
 set -u
 OUT=${1:-/tmp/chip_session}
 mkdir -p "$OUT"
+OUT=$(cd "$OUT" && pwd)  # absolute: redirects below survive the cd
 cd "$(dirname "$0")/.."
 
 run() {

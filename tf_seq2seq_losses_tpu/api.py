@@ -14,7 +14,7 @@ reference's data objects so that migrating test-suites keep working.
 from __future__ import annotations
 
 from functools import cached_property
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -202,13 +202,14 @@ def ctc_forced_alignment(
     """
     from tf_seq2seq_losses_tpu.ops import align as _align
 
-    _canonical(topology)
+    topo, _ = _canonical(topology)
     blank = jnp.asarray(blank_index, dtype=jnp.int32)
     ctx = _core.make_context(labels, logprobas, label_length, logit_length, blank)
-    fn = {
-        "classic": _align.classic_viterbi,
-        "simplified": _align.simplified_viterbi,
-    }[topology]
+    fn = (
+        _align.classic_viterbi
+        if topo.name == "classic"
+        else _align.simplified_viterbi
+    )
     path_lp, alignment = fn(ctx)
     return alignment, path_lp
 
@@ -248,7 +249,7 @@ def ctc_sample_alignments(
     )
     fn = (
         _sample.classic_sample
-        if topology == "classic"
+        if topo.name == "classic"
         else _sample.simplified_sample
     )
     return fn(ctx, key, num_samples)
@@ -259,7 +260,7 @@ def ctc_greedy_decode(
     logit_length: Array,
     blank_index: IntLike,
     topology: str = "classic",
-    max_length: int = None,
+    max_length: Optional[int] = None,
 ) -> tuple:
     """Best-path (greedy) decoding: ``(tokens [B, Lcap], lengths [B],
     log_probs [B])`` — the ``tf.nn.ctc_greedy_decoder`` analogue.
@@ -275,7 +276,7 @@ def ctc_greedy_decode(
     """
     from tf_seq2seq_losses_tpu.ops import decode as _decode
 
-    _canonical(topology)
+    topo, _ = _canonical(topology)
     if logprobas.ndim != 3:
         raise ValueError(f"logprobas must be rank 3, got {logprobas.shape}")
     blank = jnp.asarray(blank_index, dtype=jnp.int32)
@@ -285,7 +286,7 @@ def ctc_greedy_decode(
         jnp.asarray(logit_length, jnp.int32),
         blank,
         l_cap,
-        topology == "classic",
+        topo.name == "classic",
     )
 
 
@@ -295,7 +296,7 @@ def ctc_beam_search_decode(
     blank_index: IntLike,
     beam_width: int = 8,
     topology: str = "classic",
-    max_length: int = None,
+    max_length: Optional[int] = None,
 ) -> tuple:
     """CTC prefix beam search: ``(tokens [B, K, Lcap], lengths [B, K],
     log_probs [B, K])``, beams sorted by descending total probability.
@@ -311,7 +312,7 @@ def ctc_beam_search_decode(
     """
     from tf_seq2seq_losses_tpu.ops import decode as _decode
 
-    _canonical(topology)
+    topo, _ = _canonical(topology)
     if logprobas.ndim != 3:
         raise ValueError(f"logprobas must be rank 3, got {logprobas.shape}")
     if beam_width < 1:
@@ -324,7 +325,7 @@ def ctc_beam_search_decode(
         blank,
         beam_width,
         l_cap,
-        topology == "classic",
+        topo.name == "classic",
     )
 
 

@@ -109,14 +109,17 @@ def _alpha_step(step, carry):
     )
 
 
-def alpha(ctx: CtcContext) -> Array:
+def alpha(ctx: CtcContext, t: "ClassicTerms" = None) -> Array:
     """Forward lattice probabilities, shape [B, T+1, Lp1, 2].
 
     ``alpha[b, t, l, s]``: log-prob that logits ``0..t-1`` decode the label
     prefix of length ``l`` ending in state ``s``
-    (classic_ctc_loss.py:379-413).
+    (classic_ctc_loss.py:379-413).  ``t``: optionally precomputed
+    :func:`terms` (callers that also need the terms avoid rebuilding the
+    one-hot gathers eagerly; XLA CSE would dedup them under jit anyway).
     """
-    t = terms(ctx)
+    if t is None:
+        t = terms(ctx)
     xs = (
         jnp.moveaxis(t.blank_lp, 1, 0),
         jnp.moveaxis(t.prev_tok_masked, 1, 0),

@@ -68,7 +68,7 @@ def classic_sample(
     """(alignments [B, S, T], path_logprobas [B, S]) ~ P(path | label)."""
     batch, num_t, _ = ctx.logproba.shape
     t = classic_terms(ctx)
-    a = _classic.alpha(ctx)  # [B, T+1, Lp1, 2]
+    a = _classic.alpha(ctx, t)  # [B, T+1, Lp1, 2] (terms shared, not rebuilt)
     rng = jnp.arange(batch)
 
     # Time-reversed per-step inputs: step i of the scan handles frame
@@ -153,8 +153,8 @@ def simplified_sample(
     """(alignments [B, S, T], path_logprobas [B, S]) — simplified lattice
     (blank removal without collapse; the edge determines the emission)."""
     batch, num_t, _ = ctx.logproba.shape
-    a = _simplified.alpha(ctx)  # [B, T+1, Lp1]
     diag_lp = core_expected_token_lp(ctx)  # [B, T, Lp1]
+    a = _simplified.alpha(ctx, diag_lp)  # [B, T+1, Lp1] (gather shared)
     rng = jnp.arange(batch)
 
     xs = (

@@ -38,12 +38,16 @@ def _alpha_init(ctx: CtcContext) -> Array:
     return init.at[:, 0].set(0.0)
 
 
-def alpha(ctx: CtcContext) -> Array:
+def alpha(ctx: CtcContext, diag_lp: Array = None) -> Array:
     """Forward lattice probabilities, shape [B, T+1, Lp1]
-    (simplified_ctc_loss.py:358-424)."""
+    (simplified_ctc_loss.py:358-424).  ``diag_lp``: optionally precomputed
+    :func:`core.expected_token_lp` (eager callers that also need it avoid
+    the duplicate one-hot gather)."""
+    if diag_lp is None:
+        diag_lp = core_expected_token_lp(ctx)
     xs = (
         jnp.moveaxis(ctx.blank_lp, 1, 0),
-        jnp.moveaxis(core_expected_token_lp(ctx), 1, 0),
+        jnp.moveaxis(diag_lp, 1, 0),
     )
 
     def body(carry, step):

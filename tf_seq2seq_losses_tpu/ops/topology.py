@@ -245,18 +245,22 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
             return _call(exact_fn, ctx)
 
         if tier2:
-            def escalate():
+            def tier2_repair():
                 # gathered log-kernel repair of up to bucket2 flushed rows;
-                # runs only when n > bucket, so the clean path never sees it
+                # runs only when bucket < n <= bucket2
                 idx2 = jnp.argsort(~flushed)[:bucket2]
                 mini2 = _call(exact_fn, _take_ctx(ctx, idx2), idx2)
                 keep2 = flushed[idx2].reshape(
                     (bucket2,) + (1,) * (fast_value.ndim - 1)
                 )
-                rep2 = out.at[idx2].set(jnp.where(keep2, mini2, out[idx2]))
+                return out.at[idx2].set(jnp.where(keep2, mini2, out[idx2]))
+
+            def escalate():
                 if bucket2 >= batch or not full_fits:
-                    return rep2
-                return jax.lax.cond(n > bucket2, whole, lambda: rep2)
+                    return tier2_repair()
+                # tier2_repair stays inside the cond branch so an n > bucket2
+                # escalation pays exact(B) only, not exact(bucket2) + exact(B)
+                return jax.lax.cond(n > bucket2, whole, tier2_repair)
 
             return jax.lax.cond(n > bucket, escalate, lambda: out)
         if not full_fits:
