@@ -21,18 +21,64 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 from functools import partial
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from tf_seq2seq_losses_tpu import classic_ctc_loss, ctc_loss_hessian
-from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
-
 BATCH, MAX_T, VOCAB = 256, 500, 32
 BASELINE_MS = 0.28 * (MAX_T / 255.0)  # reference classic grad, scaled in T
+
+
+def acquire_backend(
+    attempts=int(os.environ.get("CTC_BENCH_PROBE_ATTEMPTS", "4")),
+    backoff_s=int(os.environ.get("CTC_BENCH_PROBE_BACKOFF_S", "60")),
+    probe_timeout_s=int(os.environ.get("CTC_BENCH_PROBE_TIMEOUT_S", "240")),
+):
+    """Bounded retry around first TPU backend use (VERDICT r3 weak #1).
+
+    BENCH_r03.json was voided by a single transient ``UNAVAILABLE: TPU
+    backend setup/compile error`` at first device use.  Two failure modes
+    exist on the tunneled chip: the init RAISES (backend up, setup race),
+    or it BLOCKS forever in jax's sleep-retry loop (relay ports down).
+    Probing in a subprocess with a hard timeout covers both; only after a
+    probe succeeds does this process touch the device.  Exhausted retries
+    exit 1 with a diagnostic JSON line so the driver records a parseable
+    artifact either way.
+    """
+    err = ""
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(backoff_s)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if proc.returncode == 0:
+                return
+            err = (proc.stderr or proc.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            err = f"backend probe hung > {probe_timeout_s}s (relay down?)"
+    print(json.dumps({
+        "metric": "classic_ctc_loss fwd+grad ms/batch (B=256,T=500,V=32)",
+        "value": None, "unit": "ms", "vs_baseline": None,
+        "error": f"TPU backend unavailable after {attempts} probes: {err}",
+    }))
+    sys.exit(1)
+
+
+acquire_backend()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tf_seq2seq_losses_tpu import classic_ctc_loss, ctc_loss_hessian  # noqa: E402
+from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba  # noqa: E402
+from tf_seq2seq_losses_tpu.utils import roofline  # noqa: E402
 
 
 def make_inputs(batch, max_t, vocab, seed=0):
@@ -193,6 +239,18 @@ def main():
     v128_optax_ms = timed_per_iter(_optax_classic_loss, v128_args)
     hessian_ms = timed_hessian_ms()
     parity = parity_check()
+    # roofline accounting (modelled HBM streams over measured ms —
+    # utils/roofline.py documents the honesty contract)
+    lp1 = MAX_T // 2 + 1
+    rl = roofline.roofline(
+        roofline.classic_grad_streams(BATCH, MAX_T, VOCAB, lp1), ms
+    )
+    fwd_rl = roofline.roofline(
+        roofline.classic_fwd_streams(BATCH, 255, VOCAB, 255 // 2 + 1), fwd_ms
+    )
+    v128_rl = roofline.roofline(
+        roofline.classic_grad_streams(BATCH, MAX_T, 128, lp1), v128_ms
+    )
     print(
         json.dumps(
             {
@@ -200,6 +258,13 @@ def main():
                 "value": round(ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(optax_ms / ms, 4),
+                "hbm_bytes": rl["hbm_bytes"],
+                "achieved_gbps": rl["achieved_gbps"],
+                "pct_hbm_peak": rl["pct_hbm_peak"],
+                "hbm_floor_ms": rl["hbm_floor_ms"],
+                "bound": rl["bound"],
+                "fwd_roofline_T255": fwd_rl,
+                "v128_roofline": v128_rl,
                 "baseline": "optax.ctc_loss (same chip, same shape)",
                 "optax_ms": round(optax_ms, 4),
                 "fwd_ms_T255": round(fwd_ms, 4),
@@ -222,4 +287,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError:
+        # transient backend failure mid-run (the probe only covers first
+        # use): one fresh-process retry — jax caches a failed backend
+        # in-process, so re-exec rather than loop
+        n = int(os.environ.get("CTC_BENCH_REEXEC", "0"))
+        if n >= 2:
+            raise
+        os.environ["CTC_BENCH_REEXEC"] = str(n + 1)
+        time.sleep(60)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

