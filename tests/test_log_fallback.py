@@ -178,8 +178,12 @@ def test_tier2_repairs_above_the_hbm_cap():
 
     args, scalar, want, g_want = _mixed_saturation_batch(2)
     ctx = core_mod.make_context(args[0], args[1], args[2], args[3], 0)
-    # cap admits the bucket2=3 mini-batch exactly but not the full batch
-    cap = _est_fallback_bytes(3, args[1].shape[1], ctx.label.shape[1])
+    # cap admits the bucket2=3 mini-batch exactly but not the full batch;
+    # the tier-2 branch runs the log KERNELS, so its footprint (and hence
+    # the cap this test pins) is the lane-padded estimate (ADVICE r3)
+    cap = _est_fallback_bytes(
+        3, args[1].shape[1], ctx.label.shape[1], lane_pad=True
+    )
     with config_override(repair_bucket=1, repair_bucket2=3, log_fallback=True):
         import os
 

@@ -269,10 +269,11 @@ def ctc_greedy_decode(
     collapsed for ``topology='classic'`` (plain blank removal for
     ``'simplified'``), blanks dropped, survivors left-compacted; the score
     is the greedy frame path's log-probability.  Fully vectorised (no
-    scan), so it is effectively free next to the loss.  For the exact
-    highest-probability *alignment* use :func:`ctc_forced_alignment`-style
-    Viterbi via ``ctc_beam_search_decode``; greedy is the standard fast
-    approximation.
+    scan), so it is effectively free next to the loss.  Greedy is the
+    standard fast approximation: for the exact highest-probability
+    *alignment* (Viterbi) use :func:`ctc_forced_alignment`; for better
+    *label sequences* (paths marginalised per prefix) use
+    :func:`ctc_beam_search_decode`.
     """
     from tf_seq2seq_losses_tpu.ops import decode as _decode
 

@@ -72,9 +72,13 @@ def _beam_search_single(
     pb0 = jnp.full((k,), NEG_INF, jnp.float32).at[0].set(0.0)
     pnb0 = jnp.full((k,), NEG_INF, jnp.float32)
     # dead slots get distinct sentinel hashes so they can never merge with
-    # (and soak up the representative slot of) a live prefix
-    h10 = h10.at[:].set(jnp.arange(k, dtype=jnp.uint32) | jnp.uint32(1 << 31))
-    h20 = h10
+    # (and soak up the representative slot of) a live prefix; the two
+    # sentinels are derived from DIFFERENT constants so the (h1, h2) pair
+    # stays independent — equal sentinels would let a live prefix whose two
+    # hashes happen to coincide merge with a dead slot (ADVICE r3)
+    iota = jnp.arange(k, dtype=jnp.uint32)
+    h10 = h10.at[:].set(iota | jnp.uint32(1 << 31))
+    h20 = h20.at[:].set((iota * _H2_MULT) | jnp.uint32(1 << 31))
     h10 = h10.at[0].set(0)
     h20 = h20.at[0].set(0)
 

@@ -102,21 +102,28 @@ def _cfg_jit(fn):
     would otherwise retain an executable per visited point of a 15-field
     product space for the process lifetime).
     """
+    import threading
     from collections import OrderedDict
 
     cache = OrderedDict()
     max_entries = 32
+    # get/move_to_end/popitem/insert are not atomic as a sequence: without
+    # the lock, concurrent first calls from multiple threads could corrupt
+    # the OrderedDict or double-compile (ADVICE r3).  jax.jit callables are
+    # themselves thread-safe once inserted; only the LRU bookkeeping locks.
+    lock = threading.Lock()
 
     @functools.wraps(fn)
     def wrapper(*args):
         cfg = get_config()
-        jitted = cache.get(cfg)
-        if jitted is None:
-            while len(cache) >= max_entries:
-                cache.popitem(last=False)
-            jitted = cache[cfg] = jax.jit(fn)
-        else:
-            cache.move_to_end(cfg)
+        with lock:
+            jitted = cache.get(cfg)
+            if jitted is None:
+                while len(cache) >= max_entries:
+                    cache.popitem(last=False)
+                jitted = cache[cfg] = jax.jit(fn)
+            else:
+                cache.move_to_end(cfg)
         return jitted(*args)
 
     wrapper._cache = cache  # introspection hook for tests

@@ -80,10 +80,20 @@ def _fallback_cap() -> int:
     return int(os.environ.get("CTC_TPU_GUARD_FALLBACK_BYTES", 4 << 30))
 
 
-def _est_fallback_bytes(batch: int, num_t: int, lp1: int) -> int:
-    """Static estimate of the pure log-space path's working set for a
-    ``batch``-sample reroute (a handful of [B, T+1, Lp1]-scale tensors)."""
-    return batch * (num_t + 1) * lp1 * 4 * 8
+def _est_fallback_bytes(
+    batch: int, num_t: int, lp1: int, lane_pad: bool = False
+) -> int:
+    """Static estimate of an exact-reroute branch's working set.
+
+    ``lane_pad=False``: the pure ``lax.scan`` path — a handful of
+    [B, T+1, Lp1]-scale tensors at the raw label width.  ``lane_pad=True``:
+    the log-space Pallas kernels (ops/log_lattice.py), whose transition /
+    residual / act tensors are lane-padded to ``round_up(lp1, 128)`` — for
+    short labels (lp1 << 128) the raw-width estimate would understate that
+    branch's real HBM footprint several-fold and admit it past the cap
+    (ADVICE r3)."""
+    width = -(-lp1 // 128) * 128 if lane_pad else lp1
+    return batch * (num_t + 1) * width * 4 * 8
 
 
 def _take_ctx(ctx: CtcContext, idx: Array) -> CtcContext:
@@ -162,7 +172,13 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
     batch, num_t, _ = ctx.logproba.shape
     lp1 = ctx.label.shape[1]
     cap = _fallback_cap()
-    full_fits = _est_fallback_bytes(batch, num_t, lp1) <= cap
+    has_exact = exact_fn is not None and cfg.log_fallback
+    # the whole-batch branch runs the log kernels when available (lane-
+    # padded footprint), the pure scan otherwise; the tier-1 bucket repair
+    # always uses the pure path (raw label width)
+    full_fits = (
+        _est_fallback_bytes(batch, num_t, lp1, lane_pad=has_exact) <= cap
+    )
     bucket = min(cfg.repair_bucket, batch)
     bucket_fits = bucket > 0 and _est_fallback_bytes(bucket, num_t, lp1) <= cap
     if not full_fits and not bucket_fits:
@@ -181,7 +197,6 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
     # of paying for a pointless reroute
     flushed = jnp.isposinf(loss_like) & feasible
     n = jnp.sum(flushed.astype(jnp.int32))
-    has_exact = exact_fn is not None and cfg.log_fallback
     if not has_exact:
         exact_fn = pure_fn
     # Second-tier gathered repair (inside the escalation branch only — the
@@ -193,7 +208,8 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
         has_exact
         and bucket2 > bucket
         and bucket_fits
-        and _est_fallback_bytes(bucket2, num_t, lp1) <= cap
+        # tier-2 gathers through the log kernels: lane-padded footprint
+        and _est_fallback_bytes(bucket2, num_t, lp1, lane_pad=True) <= cap
     )
     if not bucket_fits:
         # bucket disabled (0) but the full branch fits: two-way guard
