@@ -1,14 +1,16 @@
 #!/bin/bash
-# One serialized chip session for the end-of-round-3 pending measurements
+# One serialized chip session for the round-4 measurements
 # (tunnel protocol: ONE process at a time, each under a generous timeout).
 #
 #   bash benchmarks/run_chip_session.sh [outdir]
 #
 # Order matters: the lever decision table first (decides fold_pt /
 # half_stream / fused_epilogue defaults), then the escalation costs, then
-# the closing r3_final table.  After it finishes: flip any winning defaults
-# in utils/config.py, re-run r3_final.py if defaults changed, refresh
-# BASELINE.md / NOTES.md, and run bench.py once for the JSON line.
+# the closing r3_final table, then the compiled-Mosaic validation the
+# judge flagged as builder-attested-only (tpu tests + fuzz), then bench.py
+# for the driver JSON line.  After it finishes: flip any winning defaults
+# in utils/config.py, re-run r3_final.py + bench.py if defaults changed,
+# refresh BASELINE.md / NOTES.md.
 set -u
 OUT=${1:-/tmp/chip_session}
 mkdir -p "$OUT"
@@ -18,13 +20,16 @@ cd "$(dirname "$0")/.."
 run() {
   name=$1; shift
   echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$OUT/session.log"
-  timeout 1800 python "$@" > "$OUT/$name.log" 2>&1
+  timeout 1800 "$@" > "$OUT/$name.log" 2>&1
   rc=$?
   echo "rc=$rc" | tee -a "$OUT/session.log"
   tail -25 "$OUT/$name.log" | tee -a "$OUT/session.log"
 }
 
-run r3b_levers benchmarks/r3b_levers.py
-run diag_repair benchmarks/diag_repair.py
-run r3_final benchmarks/r3_final.py
+run r3b_levers python benchmarks/r3b_levers.py
+run diag_repair python benchmarks/diag_repair.py
+run r3_final python benchmarks/r3_final.py
+run tpu_tests python -m pytest tests/ -q -m tpu --no-header -p no:cacheprovider
+run tpu_fuzz python benchmarks/tpu_fuzz.py
+run bench python bench.py
 echo "chip session done -> $OUT" | tee -a "$OUT/session.log"
