@@ -66,6 +66,7 @@ def test_fold_pt_nonzero_blank():
     np.testing.assert_array_equal(g1, g0)
 
 
+@pytest.mark.slow
 def test_fold_pt_guard_saturated():
     """Folded fast path + guard: a flushed feasible sample still repairs."""
     labels, logits, ll, gl, ct = _inputs()
@@ -86,6 +87,7 @@ def test_fold_pt_guard_saturated():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_p), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fold_pt_with_fused_epilogue():
     """fold_pt composes with the fused d_logits epilogue (V=128 gate)."""
     rng = np.random.default_rng(1)

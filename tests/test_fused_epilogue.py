@@ -51,7 +51,11 @@ def _vjp(fn, labels, logits, label_length, logit_length, ct, blank=0):
     return pull(ct)[0]
 
 
-@pytest.mark.parametrize("fn", [classic_ctc_loss, simplified_ctc_loss])
+@pytest.mark.parametrize(
+    "fn",
+    [classic_ctc_loss,
+     pytest.param(simplified_ctc_loss, marks=pytest.mark.slow)],
+)
 def test_fused_dlogits_matches_unfused(fn):
     labels, logits, ll, gl = _inputs(seed=1)
     ct = jnp.asarray(np.random.RandomState(7).randn(4).astype(np.float32))
@@ -93,6 +97,7 @@ def test_fused_dlogits_infeasible_rows_zero():
     )
 
 
+@pytest.mark.slow
 def test_fused_dlogits_guard_repair():
     """A feasible sample whose fast loss flushes (saturated logits) must be
     repaired through the pure path inside the fused branch too."""
@@ -116,6 +121,7 @@ def test_fused_dlogits_guard_repair():
     )
 
 
+@pytest.mark.slow
 def test_fused_dlogits_tier2_escalation():
     """More flushed samples than repair_bucket but within repair_bucket2:
     the gathered log-kernel tier must repair the fused d_logits (the aux
@@ -196,6 +202,7 @@ def test_fused_gate_static():
         assert not fused_epilogue_ok(4, 9, 128, 5)
 
 
+@pytest.mark.slow
 def test_fused_dlogits_under_vmap():
     """The fused kernel batches correctly under vmap (pallas batching
     rule adds a grid dim); parity vs the unfused path."""
@@ -219,6 +226,7 @@ def test_fused_dlogits_under_vmap():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_dlogits_under_shard_map():
     """Data-parallel shard_map over the fused path: each shard runs the
     fused kernel locally; gradient matches the unfused path."""

@@ -135,7 +135,7 @@ def test_second_derivative_shape():
     "loss_fn",
     [
         pytest.param(classic_ctc_loss, marks=pytest.mark.slow),
-        simplified_ctc_loss,
+        pytest.param(simplified_ctc_loss, marks=pytest.mark.slow),
     ],
 )
 def test_hessian_vs_finite_difference(loss_fn):

@@ -56,6 +56,7 @@ def test_hvp_accepts_reduced_precision_and_validates_shape():
         ctc_loss_hessian_vector_product(labels, lp, ll, gl, 0, v[:, :-1])
 
 
+@pytest.mark.slow
 def test_hvp_matches_grad_finite_difference_at_scale():
     # T=24: the full Hessian would be [3, 24, 6, 24, 6]; the HVP needs only
     # first-order memory.  Central difference of the analytic gradient is

@@ -90,10 +90,8 @@ def test_log_kernels_exact_on_saturated_inputs():
     )
 
 
-@pytest.mark.parametrize(
-    "topology",
-    ["classic", pytest.param("simplified", marks=pytest.mark.slow)],
-)
+@pytest.mark.slow
+@pytest.mark.parametrize("topology", ["classic", "simplified"])
 def test_escalation_routes_through_log_kernels(topology):
     """Every sample saturated + bucket=1 -> the >bucket branch; with
     log_fallback on, results must still match the pure reference."""
@@ -150,7 +148,9 @@ def _mixed_saturation_batch(n_saturated, batch=5, max_t=6, vocab=4):
     return args, scalar, want, g_want
 
 
-@pytest.mark.parametrize("n_saturated", [2, 4])
+@pytest.mark.parametrize(
+    "n_saturated", [pytest.param(2, marks=pytest.mark.slow), 4]
+)
 def test_tiered_escalation_matches_pure(n_saturated):
     """Tier-2 gathered log-kernel repair (bucket < n <= bucket2) and the
     whole-batch reroute beyond it (n > bucket2) both reproduce the pure

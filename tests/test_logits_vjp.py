@@ -97,6 +97,7 @@ def test_fused_logits_infeasible_zero_grad():
     assert (np.asarray(g) == 0).all()
 
 
+@pytest.mark.slow
 def test_kernel_path_hessian_both_levels():
     """jacrev^2 must work with the Pallas path ON (latent r2 bug: the fwd
     rules built kernel contexts on differentiable inputs, so second-order

@@ -286,6 +286,7 @@ def test_chunked_long_t_matches_pure(loss_fn_name):
     np.testing.assert_allclose(np.asarray(g_ch), np.asarray(g_ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_per_sample_repair_mixed_batch():
     """One saturated sample among sane ones: the repair gathers only the
     flushed sample through the pure path; every sample must match the pure
@@ -384,7 +385,10 @@ def test_nonzero_blank_through_kernels(blank):
         )
 
 
-@pytest.mark.parametrize("topology", ["classic", "simplified"])
+@pytest.mark.parametrize(
+    "topology",
+    [pytest.param("classic", marks=pytest.mark.slow), "simplified"],
+)
 def test_streamed_residuals_match_residual_free(topology):
     """r3 streamed-residual backward (fwd kernel emits per-step alphas, bwd
     is beta-only with a single combined act) vs the r2 residual-free block

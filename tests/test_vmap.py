@@ -45,7 +45,8 @@ def test_vmap_matches_loop_pure(loss_fn):
 
 @pytest.mark.parametrize(
     "loss_fn",
-    [classic_ctc_loss, pytest.param(simplified_ctc_loss, marks=pytest.mark.slow)],
+    [pytest.param(classic_ctc_loss, marks=pytest.mark.slow),
+     pytest.param(simplified_ctc_loss, marks=pytest.mark.slow)],
 )
 def test_vmap_grad_matches_loop_pure(loss_fn):
     labels, logits, ll, gl = _stacked_inputs(seed=1)

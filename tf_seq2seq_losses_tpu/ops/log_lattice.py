@@ -150,15 +150,29 @@ def fits_log_fallback(ctx: CtcContext) -> bool:
 
 
 def _classic_log_fwd_kernel(mode: str, block_t: int):
-    """Log-space alpha scan (classic_ctc_loss.py:415-451 verbatim in log
-    arithmetic).  mode 'final' emits the last carry only; mode 'resid' also
-    streams every per-step alpha to HBM (gradient residuals)."""
+    """Log-space alpha scan (classic_ctc_loss.py:415-451 in log arithmetic,
+    with the shared-subexpression factorisation below).  mode 'final' emits
+    the last carry only; mode 'resid' also streams per-step residuals to
+    HBM (gradient residuals).
+
+    Transcendental budget — 2 ``logaddexp`` per step, down from the naive
+    3 (the kernels' cost is logaddexp-bound, VERDICT r3 next #4): with
+    ``rep in {0, -inf}``,
+
+        d = lae(a0 + dc, a1 + dc + rep) = dc + where(rep, lae(a0, a1), a0)
+
+    and ``s = lae(a0, a1)`` is already needed for the blank transition
+    ``n0 = s + blank``, so the diagonal term costs no extra lae.  The
+    residual stream carries ``x = where(rep, s, a0)`` (instead of raw
+    ``a0``), which lets the backward kernel rebuild ``d = dc + x`` with
+    ZERO lae (see _classic_log_bwd_call).
+    """
 
     def kernel(i0_ref, i1_ref, blank_ref, dc_ref, pt_ref, nb_ref, rep_ref,
                *rest):
-        sa0_ref = sa1_ref = None
+        sx_ref = sa1_ref = None
         if mode == "resid":
-            sa0_ref, sa1_ref, f0_ref, f1_ref, a0_s, a1_s = rest
+            sx_ref, sa1_ref, f0_ref, f1_ref, a0_s, a1_s = rest
         else:
             f0_ref, f1_ref, a0_s, a1_s = rest
         j = pl.program_id(1)
@@ -170,22 +184,23 @@ def _classic_log_fwd_kernel(mode: str, block_t: int):
 
         lane = _lane_iota(a0_s.shape)
         nb_l = jnp.where(nb_ref[:] > 0, 0.0, NEG_INF)
-        rep_l = jnp.where(rep_ref[:] > 0, 0.0, NEG_INF)
+        rep_b = rep_ref[:] > 0
 
         def step(k, carry):
             a0, a1 = carry
-            if mode == "resid":
-                sa0_ref[:, k, :] = a0
-                sa1_ref[:, k, :] = a1
             blank = blank_ref[:, k, :]
             dc = dc_ref[:, k, :]
             pm = pt_ref[:, k, :] + nb_l
-            do = dc + rep_l
-            d = _lae(a0 + dc, a1 + do)
+            s = _lae(a0, a1)
+            x = jnp.where(rep_b, s, a0)
+            if mode == "resid":
+                sx_ref[:, k, :] = x
+                sa1_ref[:, k, :] = a1
+            d = dc + x
             arr = jnp.where(
                 lane == 0, NEG_INF, pltpu.roll(d, shift=1, axis=1)
             )
-            n0 = _lae(a0, a1) + blank
+            n0 = s + blank
             n1 = _lae(a1 + pm, arr)
             return n0, n1
 
@@ -249,13 +264,27 @@ def _classic_log_fwd_call(blank_l, dc_l, pt_l, nb, rep, *, mode, bb, bt):
     )(init[0], init[1], blank_l, dc_l, pt_l, nb, rep)
 
 
-def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta_init,
+def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sx, sa1, beta_init,
                           loss_col, *, bb, bt):
-    """Log-space beta scan over streamed log-alpha residuals, emitting the
-    combined probability-space posterior act (see
+    """Log-space beta scan over streamed residuals, emitting the combined
+    probability-space posterior act (see
     pallas_lattice._classic_bwd_kernel_streamed for the act-combining
     argument; here the scale is ``exp(loss + ...)`` directly — no frames).
-    Returns (pc, beta0_closed, beta0_open)."""
+    Returns (pc, beta0_closed, beta0_open).
+
+    Transcendental budget — 2 ``logaddexp`` + 2 ``exp`` per step, down
+    from the naive 4 + 2 (VERDICT r3 next #4):
+
+    * the forward stream carries ``x = where(rep, lae(a0, a1), a0)``, so
+      the diagonal ``d = lae(a0 + dc, a1 + dc + rep) = dc + x`` costs no
+      lae here at all;
+    * the open-state update ``n1 = lae(hc, lae(pm + b1, dc + rep + arr))``
+      shares its rep-gated term with ``n0 = lae(hc, dc + arr)``:
+      with ``rep in {0, -inf}``,  ``n1 = lae(where(rep, n0, hc), pm + b1)``
+      — one lae instead of two (associativity of logaddexp; the rounding
+      difference is sub-ulp per step and the exactness tests compare
+      against the pure path at 1e-5/1e-4 as before).
+    """
     cfg = get_config()
     bpad, tpad, lpad = dc_l.shape
     n_tb = tpad // bt
@@ -266,7 +295,7 @@ def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta_init,
     svec = pl.BlockSpec((bb, 1), lambda i, j: (i, 0))
 
     def kernel(bi0_ref, bi1_ref, loss_ref, blank_ref, dc_ref, pt_ref,
-               nb_ref, rep_ref, sa0_ref, sa1_ref,
+               nb_ref, rep_ref, sx_ref, sa1_ref,
                pc_ref, f0_ref, f1_ref, b0_s, b1_s):
         j = pl.program_id(1)
 
@@ -278,7 +307,7 @@ def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta_init,
         lane = _lane_iota(b0_s.shape)
         lpad_ = b0_s.shape[1]
         nb_l = jnp.where(nb_ref[:] > 0, 0.0, NEG_INF)
-        rep_l = jnp.where(rep_ref[:] > 0, 0.0, NEG_INF)
+        rep_b = rep_ref[:] > 0
         loss = loss_ref[:]  # [bb, 1] finite-masked loss
 
         def step(kr, carry):
@@ -288,8 +317,7 @@ def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta_init,
             dc = dc_ref[:, k, :]
             pt = pt_ref[:, k, :]
             pm = pt + nb_l
-            do = dc + rep_l
-            a0 = sa0_ref[:, k, :]
+            x = sx_ref[:, k, :]
             a1 = sa1_ref[:, k, :]
 
             arr = jnp.where(
@@ -297,7 +325,7 @@ def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta_init,
                 NEG_INF,
                 pltpu.roll(b1, shift=lpad_ - 1, axis=1),
             )
-            d = _lae(a0 + dc, a1 + do)
+            d = dc + x
             ph = jnp.exp(loss + a1 + pt + b1)
             pd = jnp.exp(loss + d + arr)
             pc_ref[:, k, :] = pd + jnp.where(
@@ -308,7 +336,7 @@ def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta_init,
 
             hc = blank + b0
             n0 = _lae(hc, dc + arr)
-            n1 = _lae(hc, _lae(pm + b1, do + arr))
+            n1 = _lae(jnp.where(rep_b, n0, hc), pm + b1)
             return n0, n1
 
         carry = (b0_s[:], b1_s[:])
@@ -341,7 +369,7 @@ def _classic_log_bwd_call(blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta_init,
         ),
         interpret=cfg.interpret,
     )(beta_init[0], beta_init[1], loss_col, blank_l, dc_l, pt_l, nb, rep,
-      sa0, sa1)
+      sx, sa1)
 
 
 def _pick_log_loss(f0, f1, ctx, batch, lp1):
@@ -380,7 +408,7 @@ def _classic_log_grad_impl(ctx: CtcContext):
     lp1 = ctx.label.shape[1]
     bpad, tpad, lpad, bb, bt = _log_geometry(batch, num_t, lp1)
     blank_l, dc_l, pt_l, nb, rep = _log_gather_level(ctx, bpad, tpad, lpad)
-    sa0, sa1, f0, f1 = _classic_log_fwd_call(
+    sx, sa1, f0, f1 = _classic_log_fwd_call(
         blank_l, dc_l, pt_l, nb, rep, mode="resid", bb=bb, bt=bt
     )
     loss = _pick_log_loss(f0, f1, ctx, batch, lp1)
@@ -388,7 +416,7 @@ def _classic_log_grad_impl(ctx: CtcContext):
     loss_col = jnp.pad(safe_loss, (0, bpad - batch))[:, None]
     beta0 = _log_beta_init(ctx, bpad, lpad)
     pc, _b0, _b1 = _classic_log_bwd_call(
-        blank_l, dc_l, pt_l, nb, rep, sa0, sa1, beta0, loss_col,
+        blank_l, dc_l, pt_l, nb, rep, sx, sa1, beta0, loss_col,
         bb=bb, bt=bt,
     )
     sums = jnp.einsum(
