@@ -19,16 +19,56 @@ jax.config.update("jax_platforms", "cpu")
 # startup (before conftest runs), so JAX_COMPILATION_CACHE_DIR etc. set here
 # would be latched too late and the cache silently stays uninitialized
 # (measured: zero cache writes with the env-var route; warm suite compiles
-# hit with this one).  Safe to share across runs; CI caches the directory.
+# hit with this one).  CI caches the directory.
+
+
+def _cpu_tag():
+    """Microarchitecture fingerprint for the cache directory name.
+
+    The container can land on different host CPUs between sessions;
+    XLA:CPU AOT results compiled for one feature set loaded on another
+    host trigger cpu_aot_loader machine-feature-mismatch warnings and can
+    SIGILL/segfault (observed once mid-suite).  Keying the directory on
+    the CPU flags makes stale cross-host entries unreachable instead of
+    load-and-hope."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(tempfile.gettempdir(), "tf_seq2seq_losses_tpu_jax_cache"),
+    os.path.join(
+        tempfile.gettempdir(), f"tf_seq2seq_losses_tpu_jax_cache_{_cpu_tag()}"
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_state():
+    """Release jit caches between test modules.
+
+    jaxlib 0.9.0's XLA:CPU backend segfaults (in compile, serialize or
+    deserialize — varies run to run) on this suite's largest modules (the
+    saturation guard's whole-batch escalation executables) once the
+    process has accumulated ~200+ compiled modules; shorter sequences
+    always pass.  Dropping executable references at module boundaries
+    bounds that state; the persistent on-disk cache keeps the recompile
+    cost low."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

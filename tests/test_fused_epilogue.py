@@ -25,6 +25,24 @@ V = 128
 INTERP = dict(use_pallas=True, interpret=True, block_batch=2, block_time=4)
 
 
+@pytest.fixture(autouse=True)
+def no_persistent_cache():
+    # Persistent-cache opt-out — see tests/test_guard_sweep.py::guard_config:
+    # jaxlib 0.9.0 segfaults (de)serializing the guard's whole-batch
+    # escalation executables; this file compiles the V=128 variants.
+    # NOTE: jax_enable_compilation_cache is latched at first use
+    # (compilation_cache.is_cache_used caches its decision per process), so
+    # the per-call write gate min_compile_time_secs is the working opt-out.
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    try:
+        yield
+    finally:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old
+        )
+
+
 def _inputs(seed=0, batch=4, num_t=9, max_l=4, blank=0):
     rand = np.random.RandomState(seed)
     logits = jnp.asarray(

@@ -45,12 +45,31 @@ LP1 = 3  # labels [1, 2] + forced blank
 
 @pytest.fixture(autouse=True)
 def guard_config():
-    with config_override(
-        use_pallas=True, interpret=True, block_batch=2, block_time=4,
-        repair_bucket=BUCKET, repair_bucket2=BUCKET2, log_fallback=True,
-        sort_by_length=False,  # keep sample order == repair order
-    ):
-        yield
+    # Persistent-cache opt-out: jaxlib 0.9.0's native CPU executable
+    # (de)serialization segfaults on this suite's largest modules — the
+    # guard's whole-batch escalation executables (both lax.cond branches:
+    # fast kernels + log kernels + gather repair) — when the process has
+    # already compiled a few hundred modules (3/3 full slow-suite runs
+    # crashed inside serialize_executable/deserialize_executable at these
+    # tests; every shorter window run passes).  Keeping these modules out
+    # of the persistent cache sidesteps the jaxlib bug at a few seconds of
+    # recompile per session.
+    # NOTE: jax_enable_compilation_cache is latched at first use
+    # (compilation_cache.is_cache_used caches its decision per process), so
+    # the per-call write gate min_compile_time_secs is the working opt-out.
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    try:
+        with config_override(
+            use_pallas=True, interpret=True, block_batch=2, block_time=4,
+            repair_bucket=BUCKET, repair_bucket2=BUCKET2, log_fallback=True,
+            sort_by_length=False,  # keep sample order == repair order
+        ):
+            yield
+    finally:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old
+        )
 
 
 def _batch(n_flushed, vocab=VOCAB):

@@ -25,10 +25,23 @@ from tf_seq2seq_losses_tpu.utils.numerics import logit_to_logproba
 
 @pytest.fixture(autouse=True)
 def interpret_mode():
-    with config_override(
-        use_pallas=True, interpret=True, block_batch=2, block_time=4
-    ):
-        yield
+    # Persistent-cache opt-out — see tests/test_guard_sweep.py::guard_config:
+    # jaxlib 0.9.0 segfaults (de)serializing the whole-batch escalation
+    # executables this file compiles, late in a long suite process.
+    # NOTE: jax_enable_compilation_cache is latched at first use
+    # (compilation_cache.is_cache_used caches its decision per process), so
+    # the per-call write gate min_compile_time_secs is the working opt-out.
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    try:
+        with config_override(
+            use_pallas=True, interpret=True, block_batch=2, block_time=4
+        ):
+            yield
+    finally:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old
+        )
 
 
 def _ctx(batch=4, max_t=9, vocab=5, seed=0):
