@@ -56,19 +56,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _bound_compiled_state():
-    """Release jit caches between test modules.
+def bound_compiled_state_fixture():
+    """Module-teardown fixture releasing jit caches — used (as an autouse
+    module-scope fixture) by the test modules that compile the suite's
+    LARGEST executables: the saturation guard's whole-batch escalation
+    modules (both lax.cond branches: fast kernels + log kernels + gather
+    repair).
 
-    jaxlib 0.9.0's XLA:CPU backend segfaults (in compile, serialize or
-    deserialize — varies run to run) on this suite's largest modules (the
-    saturation guard's whole-batch escalation executables) once the
-    process has accumulated ~200+ compiled modules; shorter sequences
-    always pass.  Dropping executable references at module boundaries
-    bounds that state; the persistent on-disk cache keeps the recompile
-    cost low."""
-    yield
-    jax.clear_caches()
+    jaxlib 0.9.0's XLA:CPU backend segfaults on those modules (in
+    compile, serialize or deserialize — varies run to run) once the
+    process has accumulated enough compiled state (4/4 full slow-suite
+    runs crashed at the same tests; every shorter window passes, and a
+    global every-module clear also fixes it at ~75 s of re-tracing the
+    fast suite doesn't need — the heavy modules are all slow-marked).
+    Dropping executable references after each heavy module bounds the
+    state those compiles see."""
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True, scope="module")
+    def _bound_compiled_state():
+        yield
+        jax.clear_caches()
+
+    return _bound_compiled_state
 
 
 @pytest.fixture

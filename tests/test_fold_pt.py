@@ -141,3 +141,10 @@ def test_half_stream_guard_saturated():
         g_p = pull_p(ct)[0]
     np.testing.assert_allclose(np.asarray(loss), np.asarray(loss_p), atol=2e-5)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_p), atol=2e-5)
+
+
+# Heavy-module compiled-state bound (see tests/conftest.py
+# bound_compiled_state_fixture docstring: jaxlib 0.9.0 segfault).
+from tests.conftest import bound_compiled_state_fixture
+
+_bound_compiled_state = bound_compiled_state_fixture()

@@ -272,3 +272,10 @@ def test_fused_dlogits_under_shard_map():
     v_u, g_u = run(False)
     np.testing.assert_allclose(float(v_f), float(v_u), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_u), atol=1e-5)
+
+
+# Heavy-module compiled-state bound (see tests/conftest.py
+# bound_compiled_state_fixture docstring: jaxlib 0.9.0 segfault).
+from tests.conftest import bound_compiled_state_fixture
+
+_bound_compiled_state = bound_compiled_state_fixture()

@@ -110,3 +110,10 @@ def test_gradient_repair_above_cap(monkeypatch):
     with config_override(repair_bucket=2):
         g_got = jax.grad(scalar)(args[1])
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)
+
+
+# Heavy-module compiled-state bound (see tests/conftest.py
+# bound_compiled_state_fixture docstring: jaxlib 0.9.0 segfault).
+from tests.conftest import bound_compiled_state_fixture
+
+_bound_compiled_state = bound_compiled_state_fixture()

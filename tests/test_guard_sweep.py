@@ -220,3 +220,10 @@ def test_fused_dlogits_aux_form(fits_name, n_flushed):
         got, _expect(g_pure, n_flushed, k, 0.0), atol=1e-3,
         err_msg=f"fused dlogits aux form, fits={fits_name}, n={n_flushed}",
     )
+
+
+# Heavy-module compiled-state bound (see tests/conftest.py
+# bound_compiled_state_fixture docstring: jaxlib 0.9.0 segfault).
+from tests.conftest import bound_compiled_state_fixture
+
+_bound_compiled_state = bound_compiled_state_fixture()

@@ -211,3 +211,10 @@ def test_tier2_repairs_above_the_hbm_cap():
             else:
                 os.environ["CTC_TPU_GUARD_FALLBACK_BYTES"] = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+# Heavy-module compiled-state bound (see tests/conftest.py
+# bound_compiled_state_fixture docstring: jaxlib 0.9.0 segfault).
+from tests.conftest import bound_compiled_state_fixture
+
+_bound_compiled_state = bound_compiled_state_fixture()
