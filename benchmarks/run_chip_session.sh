@@ -17,9 +17,21 @@ mkdir -p "$OUT"
 OUT=$(cd "$OUT" && pwd)  # absolute: redirects below survive the cd
 cd "$(dirname "$0")/.."
 
+probe() {
+  # Cheap liveness check between steps: if the tunnel died mid-session,
+  # skip the remaining steps quickly instead of burning each step's full
+  # 1800 s timeout (bench.py runs last and has its own bounded retry, so
+  # a transient blip still gets the driver artifact a second chance).
+  timeout 300 python -c "import jax; jax.devices()" > /dev/null 2>&1
+}
+
 run() {
   name=$1; shift
   echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$OUT/session.log"
+  if ! probe; then
+    echo "SKIPPED $name: tunnel probe failed" | tee -a "$OUT/session.log"
+    return 1
+  fi
   timeout 1800 "$@" > "$OUT/$name.log" 2>&1
   rc=$?
   echo "rc=$rc" | tee -a "$OUT/session.log"
