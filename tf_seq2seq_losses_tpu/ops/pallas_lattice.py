@@ -2370,6 +2370,7 @@ def _fused_block_t(tpad: int, lpad: int, vpad: int) -> int:
 def _fused_epilogue_kernel(bt_e: int):
     def kernel(sc_ref, dl_ref, len_ref, bl_ref, oh_ref, pc_ref, p_ref,
                out_ref):
+        i = pl.program_id(0)
         j = pl.program_id(1)
         pc2 = pc_ref[0]  # [bt_e, lpad] f32 combined acts
         hi = pc2.astype(jnp.bfloat16)
@@ -2382,9 +2383,11 @@ def _fused_epilogue_kernel(bt_e: int):
         sums = sums + jax.lax.dot_general(
             lo, oh, dn, preferred_element_type=jnp.float32
         )
-        sc = sc_ref[:]  # [1, 1] exp(loss + ebi*ln2): act scale residual
-        dl = dl_ref[:]  # [1, 1] d_loss, zeroed for non-finite-loss rows
-        ln = len_ref[:]  # [1, 1] logit_length, zeroed for non-finite rows
+        # per-sample scalars ride SMEM (a (1, 1) VMEM block would violate
+        # Mosaic's sublane-divisibility rule on the (bpad, 1) arrays)
+        sc = sc_ref[i]  # exp(loss + ebi*ln2): act scale residual
+        dl = dl_ref[i]  # d_loss, zeroed for non-finite-loss rows
+        ln = len_ref[i]  # logit_length, zeroed for non-finite rows
         isbl = bl_ref[:] > 0.5  # [1, vpad] blank-lane mask
         neg_nb = sc * sums  # -grad, non-blank lanes
         s = jnp.sum(jnp.where(isbl, 0.0, neg_nb), axis=1, keepdims=True)
@@ -2410,9 +2413,9 @@ def _fused_epilogue_call(pc, oh, probs, sc, dlf, lens, isbl, *, bt_e):
         _fused_epilogue_kernel(bt_e),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, vpad), lambda i, j: (0, 0)),
             pl.BlockSpec((1, lpad, vpad), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, bt_e, lpad), lambda i, j: (i, j, 0)),
@@ -2444,9 +2447,9 @@ def _fused_dlogits(ctx, pc, probs, oh, fast_loss, ebi, d_loss):
     dlf = jnp.where(fin, d_loss.astype(jnp.float32), 0.0)
     lens = jnp.where(fin, ctx.logit_length.astype(jnp.int32), 0)
     pad = (0, bpad - batch)
-    sc = jnp.pad(sc, pad)[:, None]
-    dlf = jnp.pad(dlf, pad)[:, None]
-    lens = jnp.pad(lens, pad)[:, None]
+    sc = jnp.pad(sc, pad)
+    dlf = jnp.pad(dlf, pad)
+    lens = jnp.pad(lens, pad)
     isbl = (
         jnp.arange(num_tokens) == ctx.blank_index
     ).astype(jnp.float32)[None, :]
