@@ -130,22 +130,44 @@ def _make_loop(loss_fn, forward_only=False):
     return loop
 
 
-def timed_per_iter(loss_fn, args, n_hi=16, reps=3, forward_only=False):
+def timed_per_iter_sigma(loss_fn, args, n_hi=16, reps=6, forward_only=False):
+    """Per-iteration ms with a dispersion estimate.
+
+    VERDICT r4 weak #5: the forward ratio swung 2x between two same-day
+    runs at reps=3/min-of at sub-ms scale.  Two fixes: (a) ``n_hi`` is
+    raised per call site until the differenced window is ~20+ ms, so a
+    +-1 ms RPC blip is a few % of the quantity, not 30%; (b) each long
+    rep yields its own per-iter sample ``(thi_k - t1_min) / (n_hi - 1)``
+    — ``t1_min`` (the best fixed-overhead estimate) is subtracted from
+    EVERY long run — and the reported value is the median with ``sigma``
+    the sample standard deviation, both emitted in the JSON so a drifted
+    run is visible instead of silently folded into a min().
+    """
     loop = _make_loop(loss_fn, forward_only)
     float(loop(*args, n=1))
     float(loop(*args, n=n_hi))
 
-    def best(n):
+    def times(n):
         vals = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(loop(*args, n=n))
             vals.append(time.perf_counter() - t0)
-        return min(vals)
+        return vals
 
-    t1, thi = best(1), best(n_hi)
-    per_iter = (thi - t1) / (n_hi - 1) * 1e3
-    return per_iter
+    t1_min = min(times(1))
+    samples = sorted(
+        (thi - t1_min) / (n_hi - 1) * 1e3 for thi in times(n_hi)
+    )
+    k = len(samples)
+    med = (
+        samples[k // 2]
+        if k % 2
+        else 0.5 * (samples[k // 2 - 1] + samples[k // 2])
+    )
+    mean = sum(samples) / k
+    sigma = (sum((s - mean) ** 2 for s in samples) / (k - 1)) ** 0.5
+    return med, sigma
 
 
 def parity_check():
@@ -225,18 +247,28 @@ def timed_hessian_ms(batch=2, t_len=5, vocab=3, n_hi=512, reps=3):
 
 def main():
     args = make_inputs(BATCH, MAX_T, VOCAB)
-    ms = timed_per_iter(classic_ctc_loss, args)
-    optax_ms = timed_per_iter(_optax_classic_loss, args)
-    # forward-only at the reference benchmark length T=255 (README.md:18-21)
+    ms, ms_sigma = timed_per_iter_sigma(classic_ctc_loss, args)
+    optax_ms, optax_sigma = timed_per_iter_sigma(_optax_classic_loss, args)
+    # forward-only at the reference benchmark length T=255 (README.md:18-21).
+    # Sub-ms quantity: n_hi=96 puts the differenced window at ~25-40 ms so
+    # a +-1 ms RPC blip can no longer swing the ratio 2x (VERDICT r4 #5);
+    # measured twice so the JSON itself evidences run-to-run agreement.
     fwd_args = make_inputs(BATCH, 255, VOCAB)
-    fwd_ms = timed_per_iter(classic_ctc_loss, fwd_args, forward_only=True)
-    fwd_optax_ms = timed_per_iter(
-        _optax_classic_loss, fwd_args, forward_only=True
+    fwd_ms, fwd_sigma = timed_per_iter_sigma(
+        classic_ctc_loss, fwd_args, n_hi=96, forward_only=True
+    )
+    fwd_optax_ms, fwd_optax_sigma = timed_per_iter_sigma(
+        _optax_classic_loss, fwd_args, n_hi=96, forward_only=True
+    )
+    fwd_ms2, _ = timed_per_iter_sigma(
+        classic_ctc_loss, fwd_args, n_hi=96, forward_only=True
     )
     # the ASR north-star config (BASELINE.json: B=256 T=500 V=128)
     v128_args = make_inputs(BATCH, MAX_T, 128)
-    v128_ms = timed_per_iter(classic_ctc_loss, v128_args)
-    v128_optax_ms = timed_per_iter(_optax_classic_loss, v128_args)
+    v128_ms, v128_sigma = timed_per_iter_sigma(classic_ctc_loss, v128_args)
+    v128_optax_ms, v128_optax_sigma = timed_per_iter_sigma(
+        _optax_classic_loss, v128_args
+    )
     hessian_ms = timed_hessian_ms()
     parity = parity_check()
     # roofline accounting (modelled HBM streams over measured ms —
@@ -258,6 +290,8 @@ def main():
                 "value": round(ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(optax_ms / ms, 4),
+                "sigma_ms": round(ms_sigma, 4),
+                "optax_sigma_ms": round(optax_sigma, 4),
                 "hbm_bytes": rl["hbm_bytes"],
                 "achieved_gbps": rl["achieved_gbps"],
                 "pct_hbm_peak": rl["pct_hbm_peak"],
@@ -268,10 +302,15 @@ def main():
                 "baseline": "optax.ctc_loss (same chip, same shape)",
                 "optax_ms": round(optax_ms, 4),
                 "fwd_ms_T255": round(fwd_ms, 4),
+                "fwd_sigma_ms": round(fwd_sigma, 4),
+                "fwd_ms_T255_run2": round(fwd_ms2, 4),
                 "fwd_optax_ms_T255": round(fwd_optax_ms, 4),
+                "fwd_optax_sigma_ms": round(fwd_optax_sigma, 4),
                 "fwd_vs_baseline": round(fwd_optax_ms / fwd_ms, 4),
                 "v128_ms": round(v128_ms, 4),
+                "v128_sigma_ms": round(v128_sigma, 4),
                 "v128_optax_ms": round(v128_optax_ms, 4),
+                "v128_optax_sigma_ms": round(v128_optax_sigma, 4),
                 "v128_vs_baseline": round(v128_optax_ms / v128_ms, 4),
                 "hessian_ms_B2T5V3": round(hessian_ms, 4),
                 "ref_gpu_ms_scaled": BASELINE_MS,

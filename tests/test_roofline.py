@@ -83,7 +83,9 @@ def test_roofline_fields_and_bound_labels():
     assert rl["hbm_bytes"] == 819_000_000
     assert rl["bound"] == "HBM"  # 1.2 <= 1.5 * 1.0
     assert abs(rl["hbm_floor_ms"] - 1.0) < 1e-6
+    assert abs(rl["floor_ratio"] - 1.2) < 1e-6
     assert R.roofline(streams, 2.0)["bound"] == "VPU/overhead"
+    assert abs(R.roofline(streams, 2.0)["floor_ratio"] - 2.0) < 1e-6
     assert abs(rl["achieved_gbps"] - 819.0 / 1.2) < 0.1
 
 
