@@ -47,7 +47,7 @@ T = int(os.environ.get("QB_T", 500))
 # V % 128 == 0, so V=32 sweeps (fold, half) and V=128 runs the fused column
 COMBOS = {
     32: [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)],
-    128: [(0, 0, 0), (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)],
+    128: [(0, 0, 0), (1, 1, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)],
 }
 
 for vocab in (32, 128):

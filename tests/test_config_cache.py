@@ -77,6 +77,61 @@ def test_chunk_time_override_takes_effect_at_same_shape():
     )
 
 
+def test_cfg_jit_traces_are_config_private():
+    """Two configs at IDENTICAL shapes must not share a trace.
+
+    Round-5 regression: ``jax.jit(fn)`` wrappers over the same function
+    object share JAX's trace cache (keyed on fn identity + abstract args),
+    so the old ``jax.jit(fn)``-per-config cache silently replayed the FIRST
+    config's trace whenever the argument signature didn't change.  The old
+    tests couldn't see it because every config computes the same VALUES —
+    this one reads a config field straight into the output, where a stale
+    trace returns the wrong number.
+    """
+
+    @pk._cfg_jit
+    def scaled(x):
+        return x * get_config().window
+
+    x = jnp.float32(1.0)
+    with _base_override(window=1):
+        assert float(scaled(x)) == 1.0
+    with _base_override(window=4):
+        assert float(scaled(x)) == 4.0, "stale trace shared across configs"
+    with _base_override(window=1):
+        assert float(scaled(x)) == 1.0  # LRU re-hit stays correct
+
+
+def test_pack_structure_survives_cross_config_sequence():
+    """The exact round-5 chip crash: a fused-epilogue trace at V%128==0
+    shapes poisoned the next half_stream row's residual-pack structure
+    (``ab0, abe = cke`` unpacking a flat array).  Run the fwd+grad chain
+    under fused-first-then-half at identical shapes and pin values against
+    the pure path."""
+    from tf_seq2seq_losses_tpu import api
+
+    rng = np.random.RandomState(11)
+    batch, max_t, vocab = 3, 10, 128  # lane-aligned vocab: fused path engages
+    labels = jnp.asarray(rng.randint(1, vocab, (batch, 4)).astype(np.int32))
+    logits = jnp.asarray(rng.randn(batch, max_t, vocab).astype(np.float32))
+    ll = jnp.asarray([3, 4, 2], dtype=jnp.int32)
+    gl = jnp.asarray([9, 10, 8], dtype=jnp.int32)
+
+    def grad_of_sum(x):
+        return jax.grad(
+            lambda y: jnp.sum(api.classic_ctc_loss(labels, y, ll, gl, 0))
+        )(x)
+
+    with config_override(use_pallas=False):
+        g_pure = grad_of_sum(logits)
+    with _base_override(fused_epilogue=True, fold_pt=False, half_stream=False):
+        g_fused = grad_of_sum(logits)
+    with _base_override(fused_epilogue=False, fold_pt=True, half_stream=True):
+        g_half = grad_of_sum(logits)  # crashed pre-fix
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_pure), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_half), np.asarray(g_pure), atol=2e-5)
+
+
 @pytest.mark.slow
 def test_gradient_config_retrace_and_parity():
     from tf_seq2seq_losses_tpu import api

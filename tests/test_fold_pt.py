@@ -3,12 +3,26 @@
 With the fold on, the classic kernels receive ONE unmasked expected-token
 tensor ``dcu [B, T, Lpad]`` instead of the concat ``dcpt [B, T, 2*Lpad]``
 and derive ``dc = dcu * label_mask`` / ``pt = roll(dcu, 1)`` per step
-(pallas_lattice._step_transitions).  The derivation is exact — these tests
-pin bit-level parity against the unfolded path on every gradient scheme
-(streamed, residual-free recompute, chunked long-T), with repeated labels
-(the ``pt`` repeat-horizontal term is live), blank != 0, labels extending
-to the full padded width (the lane-``lp1`` wraparound edge), and the
-saturation guard.
+(pallas_lattice._step_transitions).  The derivation is mathematically exact;
+numerically the rearranged op order drifts from the unfolded path as the
+per-step rounding differences compound through the T-scan and are amplified
+by the final ``-exp``.  Measured on this corpus (T=12, interpret mode): the
+LOSS agrees to 1 float32 ULP; the worst GRADIENT element drifts ~5e-6
+relative (~7e-8 absolute).  These tests pin a calibrated contract — loss to
+16 ULPs, gradient to rtol 1e-4 / atol 1e-7 — still ~100x tighter than the
+library's 1e-5 absolute gradient contract — against the unfolded path on
+every gradient scheme (streamed, residual-free recompute, chunked long-T),
+with repeated labels (the ``pt`` repeat-horizontal term is live),
+blank != 0, labels extending to the full padded width (the lane-``lp1``
+wraparound edge), and the saturation guard.
+
+History: before the round-5 ``_cfg_jit`` trace-identity fix these
+assertions compared a trace WITH ITSELF (same-function jit wrappers share
+JAX's trace cache), so the original ``assert_array_equal`` form never
+actually ran two executables; the genuine comparison shows the drift these
+tolerances encode.  Each config is separately pinned against the pure
+log-space path at 1e-5 elsewhere (test_config_cache, enumeration oracle),
+so this file's job is cross-config regression, not absolute correctness.
 """
 
 import jax
@@ -20,6 +34,25 @@ from tf_seq2seq_losses_tpu import classic_ctc_loss
 from tf_seq2seq_losses_tpu.utils.config import config_override
 
 INTERP = dict(use_pallas=True, interpret=True, block_batch=2, block_time=4)
+
+
+def assert_ulp_close(actual, desired, ulps=16):
+    """Elementwise |a - d| <= ulps * spacing(d): a bit-level contract that
+    scales with magnitude (unlike an absolute atol) and stays meaningful at
+    gradient entries near zero (unlike a pure rtol)."""
+    actual = np.asarray(actual)
+    desired = np.asarray(desired)
+    tol = ulps * np.spacing(np.maximum(np.abs(desired), np.float32(1e-30)))
+    bad = ~(np.abs(actual - desired) <= tol)
+    finite_mismatch = np.isfinite(actual) != np.isfinite(desired)
+    assert not finite_mismatch.any(), "finiteness mismatch"
+    bad &= np.isfinite(desired)
+    if bad.any():
+        i = np.unravel_index(np.argmax(np.abs(actual - desired) * bad), bad.shape)
+        raise AssertionError(
+            f"{bad.sum()} elements beyond {ulps} ULPs; worst at {i}: "
+            f"{actual[i]!r} vs {desired[i]!r}"
+        )
 
 
 def _inputs():
@@ -47,23 +80,28 @@ def _loss_and_dlogits(fold, blank=0, **kw):
         return np.asarray(loss), np.asarray(pull(ct)[0])
 
 
+def assert_grad_close(actual, desired):
+    """Calibrated cross-config gradient contract (see module docstring)."""
+    np.testing.assert_allclose(actual, desired, rtol=1e-4, atol=1e-7)
+
+
 @pytest.mark.parametrize(
     "kw",
     [{}, {"stream_residuals": False}, {"chunk_time": 4}, {"window": 1}],
     ids=["streamed", "recompute", "chunked", "window1"],
 )
-def test_fold_pt_bit_exact(kw):
+def test_fold_pt_parity(kw):
     l1, g1 = _loss_and_dlogits(True, **kw)
     l0, g0 = _loss_and_dlogits(False, **kw)
-    np.testing.assert_array_equal(l1, l0)
-    np.testing.assert_array_equal(g1, g0)
+    assert_ulp_close(l1, l0)
+    assert_grad_close(g1, g0)
 
 
 def test_fold_pt_nonzero_blank():
     l1, g1 = _loss_and_dlogits(True, blank=7)
     l0, g0 = _loss_and_dlogits(False, blank=7)
-    np.testing.assert_array_equal(l1, l0)
-    np.testing.assert_array_equal(g1, g0)
+    assert_ulp_close(l1, l0)
+    assert_grad_close(g1, g0)
 
 
 @pytest.mark.slow
@@ -105,7 +143,7 @@ def test_fold_pt_with_fused_epilogue():
             return np.asarray(pull(ct)[0])
 
     base = run(False, False)
-    np.testing.assert_array_equal(run(True, False), base)
+    assert_grad_close(run(True, False), base)
     np.testing.assert_allclose(run(True, True), base, atol=1e-5)
 
 
@@ -114,14 +152,17 @@ def test_fold_pt_with_fused_epilogue():
     [{}, {"fold_pt": True}, {"window": 1}, {"unroll": False}],
     ids=["plain", "with-fold", "window1", "fori"],
 )
-def test_half_stream_bit_exact(kw):
+def test_half_stream_parity(kw):
     """config.half_stream: the bwd kernel's rebuilt a0 (2-op recurrence in
-    the stored window frames) is bit-identical to the fully streamed pair."""
+    the stored window frames) matches the fully streamed pair to the
+    calibrated drift in the module docstring (loss 1 ULP; worst gradient
+    element ~5e-6 relative — op-order under XLA fusion compounding through
+    the scan; the mantissa math is the same)."""
     fold = kw.pop("fold_pt", False)
     l1, g1 = _loss_and_dlogits(fold, half_stream=True, **kw)
     l0, g0 = _loss_and_dlogits(fold, half_stream=False, **kw)
-    np.testing.assert_array_equal(l1, l0)
-    np.testing.assert_array_equal(g1, g0)
+    assert_ulp_close(l1, l0)
+    assert_grad_close(g1, g0)
 
 
 def test_half_stream_guard_saturated():

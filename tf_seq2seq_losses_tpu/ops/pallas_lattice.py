@@ -113,6 +113,23 @@ def _cfg_jit(fn):
     # themselves thread-safe once inserted; only the LRU bookkeeping locks.
     lock = threading.Lock()
 
+    def _fresh_identity(f):
+        # CRITICAL: ``jax.jit(fn)`` wrappers over the SAME function object
+        # share JAX's underlying trace cache (keyed on fn identity +
+        # abstract args) — so two cache entries built as ``jax.jit(fn)``
+        # would silently replay the FIRST config's trace at unchanged
+        # shapes, which is exactly the staleness this keying exists to
+        # prevent (found round 5: a fused-epilogue trace poisoned the
+        # following half_stream row's residual-pack structure on the chip,
+        # and lever A/Bs at config-invariant shapes measured one
+        # executable).  A per-config closure gives each entry a distinct
+        # function identity and therefore a private trace cache.
+        @functools.wraps(f)
+        def per_cfg(*a):
+            return f(*a)
+
+        return per_cfg
+
     @functools.wraps(fn)
     def wrapper(*args):
         cfg = get_config()
@@ -121,7 +138,7 @@ def _cfg_jit(fn):
             if jitted is None:
                 while len(cache) >= max_entries:
                     cache.popitem(last=False)
-                jitted = cache[cfg] = jax.jit(fn)
+                jitted = cache[cfg] = jax.jit(_fresh_identity(fn))
             else:
                 cache.move_to_end(cfg)
         return jitted(*args)
@@ -1261,8 +1278,11 @@ def _classic_bwd_kernel_half(block_t: int, k_win: int):
     state across the block from its a0/e boundary carry with the 2-op
     recurrence ``a0' = (a0 + a1) * blank`` — the same mantissa ops in the
     same per-window frames as the forward kernel (rescaled between windows
-    by ``2^(f_prev - f_w)`` from the stored frames), so the rebuilt a0 is
-    bit-identical to what resid mode would have streamed.  Phase 2 is the
+    by ``2^(f_prev - f_w)`` from the stored frames), so the rebuilt a0
+    matches what resid mode would have streamed up to compiler op-order
+    drift (measured: loss 1 ULP, worst gradient element ~5e-6 relative
+    after the drift compounds through the scan; pinned by
+    tests/test_fold_pt.py::test_half_stream_parity).  Phase 2 is the
     beta/act scan of the streamed kernel reading a0 from VMEM scratch."""
     n_win = block_t // k_win
     fold = get_config().fold_pt

@@ -96,9 +96,11 @@ class KernelConfig:
     # Half-streamed residuals: the forward kernel streams only the OPEN
     # alpha mantissas ``a1 [B,T,L]`` (plus per-block a0 boundary carries);
     # the backward kernel rebuilds the closed state with its 2-op
-    # recurrence ``a0' = (a0 + a1) * blank`` (bit-identical: same mantissa
-    # ops in the same window frames, rescaled by the stored per-window
-    # frames).  Halves the second-largest HBM stream of the gradient path
+    # recurrence ``a0' = (a0 + a1) * blank`` (same mantissa ops in the same
+    # window frames, rescaled by the stored per-window frames; matches the
+    # streamed pair up to compiler op-order drift — measured loss 1 ULP /
+    # worst gradient element ~5e-6 relative, pinned by tests/test_fold_pt.py).
+    # Halves the second-largest HBM stream of the gradient path
     # (the [B, T, 2L] alpha residuals) for ~3 extra VPU ops/step in the
     # backward kernel.  Only meaningful when stream_residuals is on.
     half_stream: bool = False
