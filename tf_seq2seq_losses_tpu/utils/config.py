@@ -112,7 +112,10 @@ class KernelConfig:
     # gradient path (written once, read by BOTH the forward and backward
     # kernels) for ~2 extra VPU ops per step; exact — the wraparound and
     # past-length lanes are structurally dead (see _step_transitions).
-    fold_pt: bool = False
+    # Default ON: wins at both vocabularies on the chip (V=32 3.350 vs
+    # 3.509 ms, V=128 4.633 vs 4.795 ms fwd+grad — r5 corrected lever
+    # sweep, benchmarks/results/r5_session1/{r3b_levers,r5_guard}.log).
+    fold_pt: bool = True
     # Fuse the gradient epilogue (act-scatter matmul + probability-space
     # assembly + log-softmax VJP) into one Pallas kernel emitting d_logits
     # directly, so the ``sums`` and ``grad`` [B, T, V] intermediates never
@@ -125,6 +128,19 @@ class KernelConfig:
     # interpret-mode tests pin semantics, not Mosaic lowering); enable
     # with CTC_TPU_FUSED_EPILOGUE=1 or config_override.
     fused_epilogue: bool = False
+    # Where the saturation guard intercepts the training hot path
+    # (autodiff.llf_bwd).  All three are semantically identical (pinned by
+    # tests/test_guard_sweep.py); they differ only in which XLA structure
+    # the clean path pays for (r5 chip measurements,
+    # benchmarks/results/r5_session1/):
+    #   "grad": guard the [B, T, V] gradient BEFORE the log-softmax
+    #           epilogue (rounds 1-4 shape; scatter form + escalation cond).
+    #   "post": same tiered guard, applied AFTER the epilogue to the
+    #           composed d_logits inside dlogits_fast.
+    #   "pre":  branch-before-backward — the flush mask comes from the
+    #           forward kernel's raw loss (PackWithLoss), the entire
+    #           backward sits inside one lax.cond.
+    guard_mode: str = "post"
     # Use the log-space Pallas kernels (ops/log_lattice.py) as the guard's
     # whole-batch exact reroute instead of the pure lax.scan path: same
     # answers (log-space f32, nothing can flush), ~4x cheaper escalation
@@ -160,8 +176,12 @@ def _env_default() -> KernelConfig:
     flag = os.environ.get("CTC_TPU_FUSED_EPILOGUE")
     if flag is not None:
         kw["fused_epilogue"] = flag not in ("0", "false", "False")
-    if os.environ.get("CTC_TPU_FOLD_PT") in ("1", "true", "True"):
-        kw["fold_pt"] = True
+    flag = os.environ.get("CTC_TPU_GUARD_MODE")
+    if flag in ("grad", "post", "pre"):
+        kw["guard_mode"] = flag
+    flag = os.environ.get("CTC_TPU_FOLD_PT")
+    if flag is not None:
+        kw["fold_pt"] = flag not in ("0", "false", "False")
     if os.environ.get("CTC_TPU_HALF_STREAM") in ("1", "true", "True"):
         kw["half_stream"] = True
     if os.environ.get("CTC_TPU_SORT_BY_LENGTH") in ("0", "false", "False"):
