@@ -12,8 +12,9 @@ import dataclasses
 from tf_seq2seq_losses_tpu.utils import roofline as R
 from tf_seq2seq_losses_tpu.utils.config import KernelConfig
 
-# explicit r3-default config: tests must not depend on ambient env overrides
-CFG = KernelConfig()
+# explicit r3 configuration (fold_pt OFF): the r3/r4 validated-headline
+# anchor; tests must not depend on ambient env overrides
+CFG = dataclasses.replace(KernelConfig(), fold_pt=False)
 
 B, T, V, LP1 = 256, 500, 32, 251
 
@@ -23,11 +24,18 @@ def total(streams):
 
 
 def test_headline_total_matches_validated_estimate():
-    # NOTES.md: ~1.7-1.9 GB gradient-path traffic at r3 defaults; the
-    # model says 1.856e9 bytes.  Pin to 10% so geometry regressions
+    # NOTES.md: ~1.7-1.9 GB gradient-path traffic at the r3 configuration;
+    # the model says 1.856e9 bytes.  Pin to 10% so geometry regressions
     # (padding, stream count) surface here.
     t = total(R.classic_grad_streams(B, T, V, LP1, CFG))
     assert abs(t - 1.856e9) / 1.856e9 < 0.10
+
+
+def test_headline_total_at_shipped_defaults():
+    # fold_pt=True (r5 default) halves the transition stream: the model
+    # says 1.454e9 bytes at the same shape.
+    t = total(R.classic_grad_streams(B, T, V, LP1, KernelConfig()))
+    assert abs(t - 1.454e9) / 1.454e9 < 0.10
 
 
 def test_fold_pt_halves_transition_stream():
