@@ -74,6 +74,9 @@ if __name__ == "__main__":
     many_ms = timed(saturate(logits, range(20)))
     print(f"20 saturated (> bucket, tier-2 gathered log-kernel repair): "
           f"{many_ms:.3f} ms ({many_ms / clean_ms:.2f}x)", flush=True)
+    mid_ms = timed(saturate(logits, range(40)))
+    print(f"40 saturated (> bucket2, whole-batch log-kernel reroute): "
+          f"{mid_ms:.3f} ms ({mid_ms / clean_ms:.2f}x)", flush=True)
     most_ms = timed(saturate(logits, range(80)))
     print(f"80 saturated (> bucket2, whole-batch log-kernel reroute): "
           f"{most_ms:.3f} ms ({most_ms / clean_ms:.2f}x)", flush=True)

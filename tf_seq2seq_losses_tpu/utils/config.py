@@ -53,7 +53,14 @@ class KernelConfig:
     # (or log_fallback off) pay the whole-batch exact path.  Lives entirely
     # inside the escalation branch — the clean path is unchanged.  Must
     # exceed repair_bucket to engage; 0 disables the tier.
-    repair_bucket2: int = 64
+    # Default 32 (r5, benchmarks/diag_ladder.py): the tier costs ~0.85 ms
+    # fixed (escalation cond + gather/scatter) + ~35 us per gathered row of
+    # log-kernel work (B=256 T=500 V=32), so 64 rows made a 17-64-flushed
+    # batch cost 1.86x clean; 32 rows put the 17-32 band at 1.57x and
+    # leave 33+ to the whole-batch log reroute (~3.5x).  Raising the
+    # tier-1 pure bucket instead was measured and rejected: pure(32) is
+    # ~4x pure(16) (n=1 would jump 1.34x -> 2.26x).
+    repair_bucket2: int = 32
     # Frozen-frame window length: per-lane exponent renormalisation and
     # roll-alignment factors are recomputed every `window` steps instead of
     # every step (the steps in between are plain f32 FMAs).  Larger windows
