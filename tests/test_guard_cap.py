@@ -65,10 +65,16 @@ def test_gather_repair_survives_above_cap(monkeypatch):
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
             got = classic_ctc_loss(*args, 0)
-        assert any(
-            "whole-batch exact reroute disabled" in str(w.message)
-            for w in caught
-        )
+        from tf_seq2seq_losses_tpu.utils.config import get_config
+
+        if get_config().guard_struct == "cond":
+            # the cond struct degrades above the cap (whole-batch branch
+            # dropped) and says so; the while struct's bounded repair
+            # rounds have no whole-batch branch to drop — no warning.
+            assert any(
+                "whole-batch exact reroute disabled" in str(w.message)
+                for w in caught
+            )
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 

@@ -127,9 +127,15 @@ def _cap_env(fits):
 
 
 def _repaired(fits, n_flushed):
+    from tf_seq2seq_losses_tpu.utils.config import get_config
+
     if fits == "both_fit":
         return n_flushed
     if fits == "bucket_only":
+        if get_config().guard_struct == "while":
+            # the while struct's bounded repair rounds cover every flushed
+            # row regardless of the whole-batch cap (no whole branch)
+            return n_flushed
         return min(n_flushed, BUCKET2)
     return 0
 

@@ -201,6 +201,86 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
     n = jnp.sum(flushed.astype(jnp.int32))
     if not has_exact:
         exact_fn = pure_fn
+
+    if cfg.guard_struct == "while" and bucket_fits:
+        # ---- "while" struct (r5b): the escalation is a zero-trip-when-
+        # clean ``lax.while_loop`` of gathered repair rounds — no whole-
+        # tensor conditional on ANY path.  Motivation (chip, r5): even a
+        # single bare whole-batch ``lax.cond`` costs +0.14 ms at V=32 /
+        # +0.82 ms at V=128 on every clean step (fusion barrier + the
+        # conditional's output materialisation, benchmarks/r5_guard.py),
+        # while XLA aliases a while-loop carry in place and a 0-trip loop
+        # costs only its predicate.  Coverage is strictly wider than the
+        # "cond" struct: ALL flushed rows are repaired in bounded
+        # O(round*T*L) memory — beyond bucket2 and above the HBM cap —
+        # and clean rows always keep their fast values (the "cond"
+        # struct's > bucket2 whole-batch reroute replaced even clean rows
+        # with exact values; both are within the library's tolerance).
+        order = jnp.argsort(~flushed)  # stable: flushed rows first
+        rfn, lane = (exact_fn, True) if has_exact else (pure_fn, False)
+        rb = max(min(cfg.repair_bucket2, batch), bucket)
+        if _est_fallback_bytes(rb, num_t, lp1, lane_pad=lane) > cap:
+            if _est_fallback_bytes(bucket, num_t, lp1, lane_pad=lane) <= cap:
+                rb = bucket
+            else:
+                # even bucket-sized log-kernel rounds (lane-padded) exceed
+                # the cap: fall back to pure rounds at the raw label width
+                # (bucket_fits guarantees those fit).
+                rfn, lane, rb = pure_fn, False, bucket
+
+        def _put(sel, buf, mini):
+            keep = sel.reshape(sel.shape + (1,) * (buf.ndim - 1))
+            return jnp.where(keep, mini, buf)
+
+        if cfg.guard_tier1 and bucket < batch:
+            # tier-1: small-operand cond — up to `bucket` flushes repair
+            # through the cheap pure mini-batch (n=1 stays ~1.3x clean).
+            def t1():
+                idx = order[:bucket]
+                mini = _call(pure_fn, _take_ctx(ctx, idx), idx)
+                sel = flushed[idx]
+                return idx, jax.tree.map(
+                    lambda m, f: _put(sel, f[idx], m), mini, fast_value
+                )
+
+            def t1_id():
+                idx = jnp.arange(bucket)
+                return idx, jax.tree.map(lambda f: f[idx], fast_value)
+
+            idx1, upd1 = jax.lax.cond(n > 0, t1, t1_id)
+            out = jax.tree.map(
+                lambda f, u: f.at[idx1].set(u), fast_value, upd1
+            )
+            thresh = bucket
+        else:
+            out = fast_value
+            thresh = 0
+
+        rounds = -(-batch // rb)
+        # edge-pad: duplicate slots receive byte-identical updates (repair
+        # of a row is independent of its mini-batch position — log-space /
+        # pure rows never interact), so the scatter stays deterministic.
+        order_p = jnp.pad(order, (0, rounds * rb - batch), mode="edge")
+
+        def w_cond(carry):
+            i, _ = carry
+            return (n > thresh) & (i * rb < n)
+
+        def w_body(carry):
+            i, buf = carry
+            ridx = jax.lax.dynamic_slice_in_dim(order_p, i * rb, rb)
+            mini = _call(rfn, _take_ctx(ctx, ridx), ridx)
+            sel = flushed[ridx]
+            return i + 1, jax.tree.map(
+                lambda b, m: b.at[ridx].set(_put(sel, b[ridx], m)),
+                buf, mini,
+            )
+
+        _, out = jax.lax.while_loop(
+            w_cond, w_body, (jnp.array(0, jnp.int32), out)
+        )
+        return out
+
     # Second-tier gathered repair (inside the escalation branch only — the
     # clean path is untouched): up to repair_bucket2 flushed samples are
     # recomputed through the log-space kernels as a mini-batch, so the

@@ -148,6 +148,32 @@ class KernelConfig:
     #           forward kernel's raw loss (PackWithLoss), the entire
     #           backward sits inside one lax.cond.
     guard_mode: str = "post"
+    # Structural form of the guard's escalation machinery (ops/topology.py
+    # ``_guarded``), A/B-able on hardware; identical repaired values where
+    # both repair a row (pinned by tests/test_guard_sweep.py):
+    #   "cond":  tiered ``lax.cond`` lattice (rounds 1-5 shape) — the
+    #            > bucket escalation carries the full output tensor through
+    #            whole-tensor conditionals, and > bucket2 flushes reroute
+    #            the WHOLE batch through the exact path (clean rows
+    #            included).  Above the HBM cap, flushes beyond bucket2 keep
+    #            their +inf / zero-gradient fast value.
+    #   "while": the escalation is a zero-trip-when-clean
+    #            ``lax.while_loop`` of gathered exact-kernel repair rounds
+    #            (``repair_bucket2`` rows per trip, flushed-first order).
+    #            No whole-tensor conditional anywhere: the clean path pays
+    #            only the flush reduction, a [B] argsort, and the loop
+    #            predicate.  Repairs ALL flushed rows in bounded
+    #            O(bucket2*T*L) memory — including above the HBM cap and
+    #            beyond bucket2 (strictly wider coverage than "cond");
+    #            clean rows always keep their fast values.
+    guard_struct: str = "cond"
+    # Keep the small-cond tier-1 (pure-path bucket gather) in front of the
+    # while-struct rounds: n <= repair_bucket flushes repair via the cheap
+    # pure mini-batch (n=1 stays ~1.3x clean) at the cost of the tier-1
+    # cond + bucket-row scatter on the clean path.  False = rounds handle
+    # every n > 0 (cleanest clean path; n=1 pays one full exact round).
+    # Ignored by guard_struct="cond" (tier-1 is structural there).
+    guard_tier1: bool = True
     # Use the log-space Pallas kernels (ops/log_lattice.py) as the guard's
     # whole-batch exact reroute instead of the pure lax.scan path: same
     # answers (log-space f32, nothing can flush), ~4x cheaper escalation
@@ -186,6 +212,11 @@ def _env_default() -> KernelConfig:
     flag = os.environ.get("CTC_TPU_GUARD_MODE")
     if flag in ("grad", "post", "pre"):
         kw["guard_mode"] = flag
+    flag = os.environ.get("CTC_TPU_GUARD_STRUCT")
+    if flag in ("cond", "while"):
+        kw["guard_struct"] = flag
+    if os.environ.get("CTC_TPU_GUARD_TIER1") in ("0", "false", "False"):
+        kw["guard_tier1"] = False
     flag = os.environ.get("CTC_TPU_FOLD_PT")
     if flag is not None:
         kw["fold_pt"] = flag not in ("0", "false", "False")
