@@ -63,9 +63,18 @@ def _scalar(args):
 
 
 # n spans: clean, tier-1, == bucket, tier-2 rounds, > bucket2 (2 rounds),
-# whole batch
+# whole batch.  tier1=False cells assert the same lattice with the tier-1
+# cond removed; the fast tier (tier1=True) covers every structural branch
+# the False cells reach except skipping the small cond, so False rides
+# the slow suite.
 @pytest.mark.parametrize("n_flushed", [0, 1, 2, 3, 5, 8])
-@pytest.mark.parametrize("tier1", [True, False])
+@pytest.mark.parametrize(
+    "tier1",
+    [
+        True,
+        pytest.param(False, marks=pytest.mark.slow),
+    ],
+)
 def test_while_struct_matches_pure(n_flushed, tier1):
     args = _batch(n_flushed)
     scalar = _scalar(args)
