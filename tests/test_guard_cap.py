@@ -51,7 +51,8 @@ def _est(batch, max_t, lp1):
     return batch * (max_t + 1) * lp1 * 4 * 8
 
 
-def test_gather_repair_survives_above_cap(monkeypatch):
+@pytest.mark.parametrize("struct", ["while", "cond"])
+def test_gather_repair_survives_above_cap(monkeypatch, struct):
     from tf_seq2seq_losses_tpu import classic_ctc_loss
 
     args = _saturated_batch()
@@ -61,13 +62,11 @@ def test_gather_repair_survives_above_cap(monkeypatch):
     with config_override(use_pallas=False):
         want = classic_ctc_loss(*args, 0)
     monkeypatch.setenv("CTC_TPU_GUARD_FALLBACK_BYTES", str(cap))
-    with config_override(repair_bucket=2):
+    with config_override(repair_bucket=2, guard_struct=struct):
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
             got = classic_ctc_loss(*args, 0)
-        from tf_seq2seq_losses_tpu.utils.config import get_config
-
-        if get_config().guard_struct == "cond":
+        if struct == "cond":
             # the cond struct degrades above the cap (whole-batch branch
             # dropped) and says so; the while struct's bounded repair
             # rounds have no whole-batch branch to drop — no warning.

@@ -43,8 +43,8 @@ N_FLUSHED = [0, 1, BUCKET, BUCKET + 1, BUCKET2, BUCKET2 + 1, BATCH]
 LP1 = 3  # labels [1, 2] + forced blank
 
 
-@pytest.fixture(autouse=True)
-def guard_config():
+@pytest.fixture(autouse=True, params=["while", "cond"])
+def guard_config(request):
     # Persistent-cache opt-out: jaxlib 0.9.0's native CPU executable
     # (de)serialization segfaults on this suite's largest modules — the
     # guard's whole-batch escalation executables (both lax.cond branches:
@@ -64,6 +64,7 @@ def guard_config():
             use_pallas=True, interpret=True, block_batch=2, block_time=4,
             repair_bucket=BUCKET, repair_bucket2=BUCKET2, log_fallback=True,
             sort_by_length=False,  # keep sample order == repair order
+            guard_struct=request.param,  # sweep BOTH structural forms
         ):
             yield
     finally:

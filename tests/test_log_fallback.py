@@ -181,7 +181,8 @@ def test_tiered_escalation_matches_pure(n_saturated):
     )
 
 
-def test_tier2_repairs_above_the_hbm_cap():
+@pytest.mark.parametrize("struct", ["while", "cond"])
+def test_tier2_repairs_above_the_hbm_cap(struct):
     """Above the whole-batch HBM cap the tier-2 gather survives: up to
     bucket2 flushed samples are still repaired exactly (finite), and the
     clean samples keep their fast values."""
@@ -197,15 +198,16 @@ def test_tier2_repairs_above_the_hbm_cap():
     cap = _est_fallback_bytes(
         3, args[1].shape[1], ctx.label.shape[1], lane_pad=True
     )
-    with config_override(repair_bucket=1, repair_bucket2=3, log_fallback=True):
+    with config_override(
+        repair_bucket=1, repair_bucket2=3, log_fallback=True,
+        guard_struct=struct,
+    ):
         import os
 
         old = os.environ.get("CTC_TPU_GUARD_FALLBACK_BYTES")
         os.environ["CTC_TPU_GUARD_FALLBACK_BYTES"] = str(cap)
         try:
-            from tf_seq2seq_losses_tpu.utils.config import get_config
-
-            if get_config().guard_struct == "cond":
+            if struct == "cond":
                 # cond struct: the whole-batch branch is dropped with a
                 # warning; while struct: bounded repair rounds never had
                 # one, so no warning — but the repair still happens.

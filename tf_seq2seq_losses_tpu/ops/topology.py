@@ -216,7 +216,6 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
         # and clean rows always keep their fast values (the "cond"
         # struct's > bucket2 whole-batch reroute replaced even clean rows
         # with exact values; both are within the library's tolerance).
-        order = jnp.argsort(~flushed)  # stable: flushed rows first
         rfn, lane = (exact_fn, True) if has_exact else (pure_fn, False)
         rb = max(min(cfg.repair_bucket2, batch), bucket)
         if _est_fallback_bytes(rb, num_t, lp1, lane_pad=lane) > cap:
@@ -236,7 +235,9 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
             # tier-1: small-operand cond — up to `bucket` flushes repair
             # through the cheap pure mini-batch (n=1 stays ~1.3x clean).
             def t1():
-                idx = order[:bucket]
+                # stable argsort: flushed rows first, inside the branch so
+                # the clean path never pays the [B] sort
+                idx = jnp.argsort(~flushed)[:bucket]
                 mini = _call(pure_fn, _take_ctx(ctx, idx), idx)
                 sel = flushed[idx]
                 return idx, jax.tree.map(
@@ -257,10 +258,6 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
             thresh = 0
 
         rounds = -(-batch // rb)
-        # edge-pad: duplicate slots receive byte-identical updates (repair
-        # of a row is independent of its mini-batch position — log-space /
-        # pure rows never interact), so the scatter stays deterministic.
-        order_p = jnp.pad(order, (0, rounds * rb - batch), mode="edge")
 
         def w_cond(carry):
             i, _ = carry
@@ -268,12 +265,22 @@ def _guarded(fast_value, pure_fn, loss_like, feasible, ctx, exact_fn=None,
 
         def w_body(carry):
             i, buf = carry
+            # flushed-first order recomputed per trip: keeps the [B]
+            # argsort off the clean path entirely (a trip costs a kernel
+            # pass anyway).  Edge-pad: duplicate slots receive
+            # byte-identical updates (repair of a row is independent of
+            # its mini-batch position — log-space / pure rows never
+            # interact), so the scatter stays deterministic.
+            order = jnp.argsort(~flushed)
+            order_p = jnp.pad(order, (0, rounds * rb - batch), mode="edge")
             ridx = jax.lax.dynamic_slice_in_dim(order_p, i * rb, rb)
             mini = _call(rfn, _take_ctx(ctx, ridx), ridx)
-            sel = flushed[ridx]
+            # non-flushed slots scatter to index `batch` — out of bounds,
+            # dropped by XLA's default scatter mode — so the body never
+            # gathers buf rows just to write them back.
+            ridx_m = jnp.where(flushed[ridx], ridx, batch)
             return i + 1, jax.tree.map(
-                lambda b, m: b.at[ridx].set(_put(sel, b[ridx], m)),
-                buf, mini,
+                lambda b, m: b.at[ridx_m].set(m), buf, mini
             )
 
         _, out = jax.lax.while_loop(

@@ -45,21 +45,21 @@ class KernelConfig:
     # whole-batch pure reroute is reserved for > repair_bucket flushes.
     # 0 disables the bucket (always whole-batch reroute).
     repair_bucket: int = 16
-    # Second-tier repair bucket for the > repair_bucket escalation: up to
-    # repair_bucket2 flushed samples are gathered and recomputed through the
-    # exact log-space KERNELS as a mini-batch (scattered back), so even a
-    # heavily saturated batch costs ~log-kernel(bucket2) on top of the fast
-    # pass instead of a whole-batch reroute; only > repair_bucket2 flushes
-    # (or log_fallback off) pay the whole-batch exact path.  Lives entirely
-    # inside the escalation branch — the clean path is unchanged.  Must
-    # exceed repair_bucket to engage; 0 disables the tier.
-    # Default 32 (r5, benchmarks/diag_ladder.py): the tier costs ~0.85 ms
-    # fixed (escalation cond + gather/scatter) + ~35 us per gathered row of
-    # log-kernel work (B=256 T=500 V=32), so 64 rows made a 17-64-flushed
-    # batch cost 1.86x clean; 32 rows put the 17-32 band at 1.57x and
-    # leave 33+ to the whole-batch log reroute (~3.5x).  Raising the
-    # tier-1 pure bucket instead was measured and rejected: pure(32) is
-    # ~4x pure(16) (n=1 would jump 1.34x -> 2.26x).
+    # Escalation round size: the guard's repair machinery gathers flushed
+    # samples repair_bucket2 at a time and recomputes them through the
+    # exact log-space KERNELS (scattered back).  Under the default
+    # guard_struct="while" this is the per-trip mini-batch of the repair
+    # loop — every flushed sample is repaired in O(bucket2*T*L) memory, a
+    # batch with n flushes costing ceil(n/bucket2) rounds on top of the
+    # fast pass.  Under guard_struct="cond" it is the tier-2 gather bound
+    # (> bucket2 flushes reroute the whole batch; 0 disables the tier).
+    # Default 32 (r5 diag_ladder + r5b_struct, B=256 T=500 V=32): one
+    # 32-row log-kernel round costs ~0.9-1.0 ms, putting 1/20/40/80
+    # flushed samples at 1.27x/1.31x/1.63x/1.87x a clean step; 64-row
+    # rounds made the small-n cases ~1.9-2.3x.  Raising the tier-1 pure
+    # bucket instead was measured and rejected: the pure mini-scan is
+    # latency-bound (500 sequential steps), so one 32-row KERNEL round
+    # beats pure(16) even at n=1 (4.19 vs 4.64 ms).
     repair_bucket2: int = 32
     # Frozen-frame window length: per-lane exponent renormalisation and
     # roll-alignment factors are recomputed every `window` steps instead of
@@ -166,14 +166,22 @@ class KernelConfig:
     #            O(bucket2*T*L) memory — including above the HBM cap and
     #            beyond bucket2 (strictly wider coverage than "cond");
     #            clean rows always keep their fast values.
-    guard_struct: str = "cond"
+    # Default "while" (r5b chip A/B, benchmarks/results/r5_session2/
+    # r5b_struct.log): clean-path tax drops to +0.12 ms V=32 / +0.42 ms
+    # V=128 (cond: +0.33/+0.60) and the whole escalation ladder improves —
+    # n of 256 saturated at 1/20/40/80 rows costs 1.38x/1.36x/1.68x/1.96x
+    # a clean step (cond struct: 1.34x/1.57x/3.6x/3.56x).
+    guard_struct: str = "while"
     # Keep the small-cond tier-1 (pure-path bucket gather) in front of the
     # while-struct rounds: n <= repair_bucket flushes repair via the cheap
-    # pure mini-batch (n=1 stays ~1.3x clean) at the cost of the tier-1
-    # cond + bucket-row scatter on the clean path.  False = rounds handle
-    # every n > 0 (cleanest clean path; n=1 pays one full exact round).
-    # Ignored by guard_struct="cond" (tier-1 is structural there).
-    guard_tier1: bool = True
+    # pure mini-batch at the cost of the tier-1 cond + bucket-row scatter
+    # on the clean path.  Default OFF: measured strictly worse on chip —
+    # the 500-step pure mini-scan is latency-bound, so one 32-row
+    # log-KERNEL round beats it even at n=1 (4.33 vs 4.64 ms) while its
+    # cond+scatter cost the clean path another ~0.15-0.27 ms
+    # (r5b_struct.log).  Ignored by guard_struct="cond" (tier-1 is
+    # structural there).
+    guard_tier1: bool = False
     # Use the log-space Pallas kernels (ops/log_lattice.py) as the guard's
     # whole-batch exact reroute instead of the pure lax.scan path: same
     # answers (log-space f32, nothing can flush), ~4x cheaper escalation
@@ -215,8 +223,9 @@ def _env_default() -> KernelConfig:
     flag = os.environ.get("CTC_TPU_GUARD_STRUCT")
     if flag in ("cond", "while"):
         kw["guard_struct"] = flag
-    if os.environ.get("CTC_TPU_GUARD_TIER1") in ("0", "false", "False"):
-        kw["guard_tier1"] = False
+    flag = os.environ.get("CTC_TPU_GUARD_TIER1")
+    if flag is not None:
+        kw["guard_tier1"] = flag not in ("0", "false", "False")
     flag = os.environ.get("CTC_TPU_FOLD_PT")
     if flag is not None:
         kw["fold_pt"] = flag not in ("0", "false", "False")
